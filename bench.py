@@ -1,0 +1,96 @@
+"""Headline benchmark: full-batch OpenFWI RED-DiffEq inversion.
+
+Workload parity with the reference baseline (BASELINE.md): 70x70 velocity
+grid, nt=1000 FD steps, ns=5 shots, 300 Adam steps with the diffusion
+(RED) regularizer and the full dim-64 U-Net, seed 8888. The reference's
+captured number is ~675.6 s/sample at batch 1 on an unspecified CUDA GPU
+(example/example_openfwi.ipynb).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds_per_sample, "unit": "s/sample",
+   "vs_baseline": speedup_factor}
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_S_PER_SAMPLE = 675.58
+BATCH = 4
+TS = 300
+
+
+def main():
+    from red_diffeq_tpu.core.inversion import InversionEngine
+    from red_diffeq_tpu.models.diffusion import GaussianDiffusion
+    from red_diffeq_tpu.models.unet import Unet
+    from red_diffeq_tpu.solvers.acoustic import FWIForward
+    from red_diffeq_tpu.utils.data_trans import (
+        prepare_initial_model, s_normalize_none, v_denormalize, v_normalize,
+    )
+
+    ctx = dict(n_grid=70, nt=1000, dx=10.0, dt=0.001, nbc=120, f=15.0,
+               sz=10, gz=10, ng=70, ns=5)
+    backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+    op = FWIForward(ctx, normalize=True, v_denorm_func=v_denormalize,
+                    s_norm_func=s_normalize_none, backend=backend, chunk=20)
+
+    model = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1)
+    diffusion = GaussianDiffusion(model, image_size=72, timesteps=1000,
+                                  sampling_timesteps=250,
+                                  objective='pred_noise')
+    diffusion.init_params(jax.random.PRNGKey(0))
+
+    # Synthetic layered OpenFWI-style truth; observations from the
+    # forward operator itself (no dataset ships with the reference).
+    rng = np.random.RandomState(8888)
+    v_true = np.full((BATCH, 1, 70, 70), 1500.0, np.float32)
+    for b in range(BATCH):
+        depths = sorted(rng.randint(5, 65, size=3))
+        vels = np.sort(1500 + 3000 * rng.rand(4))
+        v = np.full((70, 70), vels[0], np.float32)
+        for d, vv in zip(depths, vels[1:]):
+            v[d:, :] = vv
+        v_true[b, 0] = v
+    v_true_j = jnp.asarray(v_true)
+    y = op(v_normalize(v_true_j))
+
+    init = np.concatenate([
+        prepare_initial_model(v_true[b:b + 1], 'smoothed', sigma=10.0)
+        for b in range(BATCH)])
+    mu0 = jnp.pad(jnp.asarray(init), ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    engine = InversionEngine(diffusion, regularization='diffusion',
+                             sigma_x0=1e-4)
+
+    def run(ts):
+        mu, per_model = engine.optimize(
+            mu0, v_true_j, y, op, ts=ts, lr=0.03, reg_lambda=0.75,
+            key=jax.random.PRNGKey(8888), use_scan=True, progress=False)
+        jax.block_until_ready(mu)
+        return per_model
+
+    run(TS)                      # compile + warm run
+    t0 = time.time()
+    per_model = run(TS)          # timed run
+    elapsed = time.time() - t0
+
+    s_per_sample = elapsed / BATCH
+    final_ssim = float(np.mean([pm['ssim'][-1] for pm in per_model]))
+    result = {
+        'metric': 'openfwi_red_diffeq_inversion_time',
+        'value': round(s_per_sample, 3),
+        'unit': 's/sample',
+        'vs_baseline': round(BASELINE_S_PER_SAMPLE / s_per_sample, 2),
+        'batch': BATCH,
+        'ts': TS,
+        'backend': backend,
+        'final_ssim_synthetic': round(final_ssim, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -215,13 +215,14 @@ def forward_modeling(v_pad: jax.Array, geom: Geometry, *, chunk: int = 20,
         chunk_fn = pallas_chunk_fn(
             alpha=alpha, temp1=temp1, temp2=temp2, beta_pts=beta_pts,
             geom=geom, chunk=chunk)
+        # The pallas chunk carries its own custom VJP that recomputes the
+        # intra-chunk states; jax.checkpoint would be redundant.
     else:
         coeffs = (alpha, temp1, temp2, beta_pts)
         chunk_fn = partial(_xla_chunk, coeffs=coeffs, geom=geom,
                            isx_arr=isx_arr, igx_arr=igx_arr)
-
-    if remat:
-        chunk_fn = jax.checkpoint(chunk_fn, prevent_cse=False)
+        if remat:
+            chunk_fn = jax.checkpoint(chunk_fn, prevent_cse=False)
 
     shape = (b, geom.ns, hp, wp)
     p0 = jnp.zeros(shape, dtype=dtype)

@@ -1,7 +1,11 @@
-"""Test configuration: run everything on CPU with 8 virtual devices.
+"""Test configuration.
 
-Multi-device tests exercise sharding without TPU hardware
-(XLA_FLAGS=--xla_force_host_platform_device_count=8), per SURVEY.md §4.
+* Requests the CPU platform with 8 virtual devices so sharding tests can
+  run without TPU hardware (SURVEY.md §4). Note: under the axon TPU
+  plugin the default backend may remain 'tpu'; multi-device tests should
+  select devices explicitly via jax.devices('cpu').
+* Enables the persistent compilation cache — the solver/U-Net scan
+  programs are expensive to compile and identical across test runs.
 """
 import os
 
@@ -10,7 +14,12 @@ flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
 
 import jax  # noqa: E402
 
 jax.config.update('jax_enable_x64', False)
+try:
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+except AttributeError:
+    pass

@@ -1,0 +1,116 @@
+"""Engine tests: losses, metrics, baseline regularizers, and a seeded
+end-to-end mini-inversion on synthetic data (SURVEY.md §4 layer 4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from red_diffeq_tpu.core.inversion import InversionEngine
+from red_diffeq_tpu.core.losses import observation_loss, total_loss
+from red_diffeq_tpu.core.metrics import calculate_metrics
+from red_diffeq_tpu.regularization.benchmark import (
+    tikhonov_loss, total_variation_loss,
+)
+from red_diffeq_tpu.solvers.acoustic import FWIForward
+from red_diffeq_tpu.utils.data_trans import v_denormalize, v_normalize
+
+
+def test_observation_loss_masked():
+    pred = jnp.zeros((2, 1, 4, 4))
+    target = jnp.ones((2, 1, 4, 4))
+    assert np.allclose(observation_loss(pred, target), [1.0, 1.0])
+    mask = jnp.zeros((2, 1, 4, 4)).at[:, :, :, :2].set(1.0)
+    target2 = target.at[:, :, :, 2:].set(100.0)  # masked-out region ignored
+    assert np.allclose(observation_loss(pred, target2, mask), [1.0, 1.0])
+
+
+def test_total_loss():
+    assert np.allclose(total_loss(jnp.array([1.0]), jnp.array([2.0]), 0.5), [2.0])
+
+
+def test_tv_tikhonov_analytic():
+    # linear ramp in x: |d/dx| = 1 everywhere, d/dy = 0
+    ramp = jnp.broadcast_to(jnp.arange(4.0), (1, 1, 4, 4))[None][0]
+    ramp = ramp.reshape(1, 1, 4, 4)
+    assert float(total_variation_loss(ramp)[0]) == pytest.approx(1.0)
+    assert float(tikhonov_loss(ramp)[0]) == pytest.approx(1.0)
+    flat = jnp.full((3, 1, 5, 5), 2.0)
+    assert np.allclose(total_variation_loss(flat), 0.0)
+    assert np.allclose(tikhonov_loss(flat), 0.0)
+
+
+def test_metrics_identity_and_offset():
+    truth = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 16, 16)) * 2 - 1
+    mae, rmse, s = calculate_metrics(truth, truth)
+    assert np.allclose(mae, 0.0, atol=1e-6)
+    assert np.allclose(rmse, 0.0, atol=1e-6)
+    assert np.allclose(s, 1.0, atol=1e-4)
+    mae2, rmse2, s2 = calculate_metrics(jnp.clip(truth + 0.2, -1, 1), truth)
+    assert np.all(np.asarray(mae2) > 0.1)
+    assert np.all(np.asarray(s2) < 1.0)
+
+
+def _mini_problem(ns=2, nt=60, n=16, nbc=8):
+    ctx = dict(n_grid=n, nt=nt, dx=10.0, dt=0.001, nbc=nbc, f=15.0,
+               sz=10, gz=10, ng=n, ns=ns)
+    op = FWIForward(ctx, normalize=True, v_denorm_func=v_denormalize,
+                    s_norm_func=lambda s: s, backend='xla', chunk=10)
+    rng = np.random.RandomState(0)
+    v_true = np.full((1, 1, n, n), 2000.0, np.float32)
+    v_true[:, :, n // 2:, :] = 3000.0
+    y = op(v_normalize(jnp.asarray(v_true)))
+    # smooth initial guess (homogeneous 2400)
+    v_init = v_normalize(np.full((1, 1, n, n), 2400.0, np.float32))
+    mu0 = jnp.pad(jnp.asarray(v_init), ((0, 0), (0, 0), (1, 1), (1, 1)))
+    return op, jnp.asarray(v_true), y, mu0
+
+
+@pytest.mark.parametrize('use_scan', [True, False])
+def test_end_to_end_plain_fwi(use_scan):
+    """Plain FWI (no regularization) must reduce MAE on a two-layer model."""
+    op, v_true, y, mu0 = _mini_problem()
+    engine = InversionEngine(regularization=None)
+    mu, per_model = engine.optimize(
+        mu0, v_true, y, op, ts=30, lr=0.05, reg_lambda=0.0,
+        key=jax.random.PRNGKey(8888), use_scan=use_scan, progress=False)
+    assert mu.shape == (1, 1, 16, 16)
+    curves = per_model[0]
+    assert len(curves['mae']) == 30
+    assert curves['mae'][-1] < curves['mae'][0] * 0.9
+    assert curves['obs_losses'][-1] < curves['obs_losses'][0] * 0.5
+    assert np.allclose(curves['reg_losses'], 0.0)
+
+
+def test_end_to_end_tv_regularized():
+    op, v_true, y, mu0 = _mini_problem()
+    engine = InversionEngine(regularization='tv')
+    mu, per_model = engine.optimize(
+        mu0, v_true, y, op, ts=20, lr=0.05, reg_lambda=0.1,
+        key=jax.random.PRNGKey(1), progress=False)
+    curves = per_model[0]
+    assert curves['mae'][-1] < curves['mae'][0]
+    assert all(r > 0 for r in curves['reg_losses'])
+
+
+def test_scan_and_python_loop_agree():
+    op, v_true, y, mu0 = _mini_problem()
+    engine = InversionEngine(regularization=None)
+    mu_a, pm_a = engine.optimize(mu0, v_true, y, op, ts=5, lr=0.05,
+                                 key=jax.random.PRNGKey(3), use_scan=True,
+                                 progress=False)
+    mu_b, pm_b = engine.optimize(mu0, v_true, y, op, ts=5, lr=0.05,
+                                 key=jax.random.PRNGKey(3), use_scan=False,
+                                 progress=False)
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu_b), atol=1e-6)
+    np.testing.assert_allclose(pm_a[0]['mae'], pm_b[0]['mae'], atol=1e-6)
+
+
+def test_validation_errors():
+    op, v_true, y, mu0 = _mini_problem()
+    engine = InversionEngine(regularization=None)
+    with pytest.raises(ValueError, match='Batch size mismatch'):
+        engine.optimize(jnp.concatenate([mu0, mu0]), v_true, y, op, ts=1)
+    with pytest.raises(ValueError, match='Unknown regularization'):
+        engine.optimize(mu0, v_true, y, op, ts=1, regularization='bogus')
+    with pytest.raises(ValueError, match='callable'):
+        engine.optimize(mu0, v_true, y, None, ts=1)
