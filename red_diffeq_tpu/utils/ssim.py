@@ -31,6 +31,8 @@ def _filter2d(x: jax.Array, window: jax.Array) -> jax.Array:
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,  # fp32 even on TPU (default
+        # TPU conv precision is bf16, which costs ~1e-3 in SSIM terms)
     )
 
 

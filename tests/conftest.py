@@ -23,3 +23,11 @@ try:
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 except AttributeError:
     pass
+
+# Under the axon TPU plugin JAX_PLATFORMS=cpu is not honored; pin the
+# default device to CPU explicitly so the suite is hermetic (local
+# compiles, no TPU tunnel). TPU-only tests check jax.default_backend().
+try:
+    jax.config.update('jax_default_device', jax.devices('cpu')[0])
+except Exception:
+    pass
