@@ -107,7 +107,8 @@ class InversionEngine:
                  regularization: Optional[str] = None,
                  key: Optional[jax.Array] = None,
                  use_scan: bool = True, progress: bool = True,
-                 log_interval: int = 50):
+                 log_interval: int = 50,
+                 profile_dir: Optional[str] = None):
         """Run ``ts`` optimization steps; returns (mu_cropped, per-sample
         metric curves) exactly like reference inversion.py:26-129.
 
@@ -151,6 +152,8 @@ class InversionEngine:
                                    self.sigma_x0, is_diffusion)
         step_keys = jax.random.split(key, ts)
 
+        from red_diffeq_tpu.utils.profiling import StepTimer, trace
+
         if use_scan:
             @jax.jit
             def run(carry, keys):
@@ -158,19 +161,29 @@ class InversionEngine:
                     partial(step, y=y, mask=mask, mu_true_norm=mu_true_norm),
                     carry, keys)
 
-            (mu, opt_state), metrics = run((mu, opt_state), step_keys)
+            with trace(profile_dir):
+                (mu, opt_state), metrics = run((mu, opt_state), step_keys)
+                jax.block_until_ready(mu)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
         else:
             jit_step = jax.jit(partial(step, y=y, mask=mask,
                                        mu_true_norm=mu_true_norm))
             history = []
-            for i in range(ts):
-                (mu, opt_state), m = jit_step((mu, opt_state), step_keys[i])
-                history.append(m)
-                if progress and (i % log_interval == 0 or i == ts - 1):
-                    print(f"step {i:4d}/{ts}  MAE {float(m['mae'].mean()):.4f}"
-                          f"  RMSE {float(m['rmse'].mean()):.4f}"
-                          f"  SSIM {float(m['ssim'].mean()):.4f}", flush=True)
+            timer = StepTimer()
+            with trace(profile_dir):
+                for i in range(ts):
+                    with timer:
+                        (mu, opt_state), m = jit_step((mu, opt_state),
+                                                      step_keys[i])
+                    history.append(m)
+                    if progress and (i % log_interval == 0 or i == ts - 1):
+                        print(f"step {i:4d}/{ts}"
+                              f"  MAE {float(m['mae'].mean()):.4f}"
+                              f"  RMSE {float(m['rmse'].mean()):.4f}"
+                              f"  SSIM {float(m['ssim'].mean()):.4f}",
+                              flush=True)
+            if progress and timer.times:
+                print(f'timing: {timer.summary()}', flush=True)
             metrics = {k: np.stack([np.asarray(h[k]) for h in history])
                        for k in history[0]}
 

@@ -75,8 +75,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple] = None):
-        x = nn.Conv(self.dim_out, (3, 3), padding=1)(x)
-        x = nn.GroupNorm(num_groups=self.groups)(x)
+        x = nn.Conv(self.dim_out, (3, 3), padding=1, name='proj')(x)
+        x = nn.GroupNorm(num_groups=self.groups, name='norm')(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift
@@ -95,13 +95,15 @@ class ResnetBlock(nn.Module):
     def __call__(self, x, time_emb=None):
         scale_shift = None
         if self.use_time_emb and time_emb is not None:
-            h_t = nn.Dense(self.dim_out * 2)(nn.silu(time_emb))
+            h_t = nn.Dense(self.dim_out * 2, name='time_mlp')(
+                nn.silu(time_emb))
             h_t = h_t[:, None, None, :]  # (B, 1, 1, 2*dim_out)
             scale_shift = jnp.split(h_t, 2, axis=-1)
-        h = Block(self.dim_out, groups=self.groups)(x, scale_shift)
-        h = Block(self.dim_out, groups=self.groups)(h)
+        h = Block(self.dim_out, groups=self.groups, name='block1')(
+            x, scale_shift)
+        h = Block(self.dim_out, groups=self.groups, name='block2')(h)
         if self.dim != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1))(x)
+            x = nn.Conv(self.dim_out, (1, 1), name='res_conv')(x)
         return h + x
 
 
@@ -118,8 +120,8 @@ class LinearAttention(nn.Module):
         b, h, w, c = x.shape
         hidden = self.dim_head * self.heads
         x_in = x
-        x = RMSNorm(self.dim)(x)
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
+        x = RMSNorm(self.dim, name='norm')(x)
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name='to_qkv')(x)
         qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
         # (B, heads, dim_head, N)
         q, k, v = [qkv[:, :, i].transpose(0, 2, 3, 1) for i in range(3)]
@@ -136,8 +138,8 @@ class LinearAttention(nn.Module):
         context = jnp.einsum('bhdn,bhen->bhde', k, v)
         out = jnp.einsum('bhde,bhdn->bhen', context, q)   # (B, heads, e, N)
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
-        out = nn.Conv(self.dim, (1, 1))(out)
-        out = RMSNorm(self.dim)(out)
+        out = nn.Conv(self.dim, (1, 1), name='to_out')(out)
+        out = RMSNorm(self.dim, name='out_norm')(out)
         return out + x_in
 
 
@@ -155,8 +157,8 @@ class Attention(nn.Module):
         b, h, w, c = x.shape
         hidden = self.dim_head * self.heads
         x_in = x
-        x = RMSNorm(self.dim)(x)
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
+        x = RMSNorm(self.dim, name='norm')(x)
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name='to_qkv')(x)
         qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
         # (B, heads, N, dim_head)
         q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
@@ -172,7 +174,7 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum('bhij,bhjd->bhid', attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden)
-        out = nn.Conv(self.dim, (1, 1))(out)
+        out = nn.Conv(self.dim, (1, 1), name='to_out')(out)
         return out + x_in
 
 
@@ -252,36 +254,41 @@ class Unet(nn.Module):
         if self.learned_sinusoidal_cond or self.random_fourier_features:
             emb = RandomOrLearnedSinusoidalPosEmb(
                 self.learned_sinusoidal_dim,
-                self.random_fourier_features)(time)
+                self.random_fourier_features, name='sinu_pos_emb')(time)
         else:
             emb = SinusoidalPosEmb(self.dim,
                                    self.sinusoidal_pos_emb_theta)(time)
-        t = nn.Dense(time_dim)(emb)
-        t = nn.Dense(time_dim)(nn.gelu(t, approximate=False))
+        t = nn.Dense(time_dim, name='time_dense_0')(emb)
+        t = nn.Dense(time_dim, name='time_dense_1')(
+            nn.gelu(t, approximate=False))
 
         block = partial(ResnetBlock, groups=self.resnet_block_groups)
 
-        x = nn.Conv(init_dim, (7, 7), padding=3)(x)
+        x = nn.Conv(init_dim, (7, 7), padding=3, name='init_conv')(x)
         r = x
 
         skips = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_stages - 1
             attn_cls = Attention if full_attn[ind] else LinearAttention
-            x = block(dim_in, dim_in)(x, t)
+            x = block(dim_in, dim_in, name=f'down_{ind}_block1')(x, t)
             skips.append(x)
-            x = block(dim_in, dim_in)(x, t)
-            x = attn_cls(dim_in, heads=heads[ind], dim_head=dim_heads[ind])(x)
+            x = block(dim_in, dim_in, name=f'down_{ind}_block2')(x, t)
+            x = attn_cls(dim_in, heads=heads[ind], dim_head=dim_heads[ind],
+                         name=f'down_{ind}_attn')(x)
             skips.append(x)
             if not is_last:
-                x = nn.Conv(dim_out, (1, 1))(space_to_depth(x))
+                x = nn.Conv(dim_out, (1, 1),
+                            name=f'down_{ind}_downsample')(space_to_depth(x))
             else:
-                x = nn.Conv(dim_out, (3, 3), padding=1)(x)
+                x = nn.Conv(dim_out, (3, 3), padding=1,
+                            name=f'down_{ind}_downsample')(x)
 
         mid_dim = dims[-1]
-        x = block(mid_dim, mid_dim)(x, t)
-        x = Attention(mid_dim, heads=heads[-1], dim_head=dim_heads[-1])(x)
-        x = block(mid_dim, mid_dim)(x, t)
+        x = block(mid_dim, mid_dim, name='mid_block1')(x, t)
+        x = Attention(mid_dim, heads=heads[-1], dim_head=dim_heads[-1],
+                      name='mid_attn')(x)
+        x = block(mid_dim, mid_dim, name='mid_block2')(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == num_stages - 1
@@ -290,18 +297,21 @@ class Unet(nn.Module):
             h_ = tuple(reversed(heads))[ind]
             dh = tuple(reversed(dim_heads))[ind]
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = block(dim_out + dim_in, dim_out)(x, t)
+            x = block(dim_out + dim_in, dim_out, name=f'up_{ind}_block1')(x, t)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = block(dim_out + dim_in, dim_out)(x, t)
-            x = attn_cls(dim_out, heads=h_, dim_head=dh)(x)
+            x = block(dim_out + dim_in, dim_out, name=f'up_{ind}_block2')(x, t)
+            x = attn_cls(dim_out, heads=h_, dim_head=dh,
+                         name=f'up_{ind}_attn')(x)
             if not is_last:
-                x = nn.Conv(dim_in, (3, 3), padding=1)(nearest_upsample(x))
+                x = nn.Conv(dim_in, (3, 3), padding=1,
+                            name=f'up_{ind}_upsample')(nearest_upsample(x))
             else:
-                x = nn.Conv(dim_in, (3, 3), padding=1)(x)
+                x = nn.Conv(dim_in, (3, 3), padding=1,
+                            name=f'up_{ind}_upsample')(x)
 
         out_dim = self.out_dim or self.channels * (2 if self.learned_variance
                                                    else 1)
         x = jnp.concatenate([x, r], axis=-1)
-        x = block(self.dim * 2, self.dim)(x, t)
-        x = nn.Conv(out_dim, (1, 1))(x)
+        x = block(self.dim * 2, self.dim, name='final_res_block')(x, t)
+        x = nn.Conv(out_dim, (1, 1), name='final_conv')(x)
         return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW

@@ -11,9 +11,18 @@ import pytest
 
 from red_diffeq_tpu.solvers.acoustic import Geometry, forward_modeling
 
+def _runs_on_tpu() -> bool:
+    """True only when computations actually execute on a TPU device (the
+    suite pins jax_default_device to CPU; the axon plugin still reports
+    default_backend() == 'tpu')."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, 'platform', None) == 'tpu'
+    return jax.default_backend() == 'tpu'
+
+
 pytestmark = pytest.mark.skipif(
-    jax.default_backend() != 'tpu',
-    reason='pallas stencil kernels require a TPU')
+    not _runs_on_tpu(), reason='pallas stencil kernels require a TPU')
 
 
 def _geom(nt=100, **kw):

@@ -1,0 +1,42 @@
+"""Result-aggregation tests (reference notebook_visualization parity)."""
+import numpy as np
+
+from red_diffeq_tpu.io.results import load_marmousi, load_openfwi
+
+
+def _write_npz(path, offset):
+    np.savez(path,
+             mae=np.array([0.3, 0.2, 0.1]) + offset,
+             rmse=np.array([0.4, 0.3, 0.2]) + offset,
+             ssim=np.array([0.5, 0.6, 0.7]) - offset,
+             result=np.zeros((4, 4)))
+
+
+def test_load_openfwi_averages_families(tmp_path):
+    for fam, off in zip(['CF', 'CV'], [0.0, 0.1]):
+        d = tmp_path / fam
+        d.mkdir()
+        _write_npz(d / '0_results.npz', off)
+    out = load_openfwi(tmp_path)
+    np.testing.assert_allclose(out['mae'], [0.35, 0.25, 0.15], atol=1e-7)
+    final = load_openfwi(tmp_path, return_final_only=True)
+    assert final['MAE'] == np.float32(0.15).item() or \
+        abs(final['MAE'] - 0.15) < 1e-6
+    assert abs(final['SSIM'] - 0.65) < 1e-6
+
+
+def test_load_openfwi_missing(tmp_path):
+    assert load_openfwi(tmp_path / 'nope') is None
+    assert load_openfwi(tmp_path) is None  # exists but empty
+
+
+def test_load_marmousi_flat_and_subdir(tmp_path):
+    _write_npz(tmp_path / '0_results.npz', 0.0)
+    out = load_marmousi(tmp_path)
+    np.testing.assert_allclose(out['mae'], [0.3, 0.2, 0.1], atol=1e-7)
+
+    root2 = tmp_path / 'run2'
+    (root2 / 'marmousi').mkdir(parents=True)
+    _write_npz(root2 / 'marmousi' / '0_results.npz', 0.1)
+    out2 = load_marmousi(root2, return_final_only=True)
+    assert abs(out2['MAE'] - 0.2) < 1e-6
