@@ -92,6 +92,11 @@ class InversionEngine:
         self.use_time_weight = use_time_weight
         self.sigma_x0 = sigma_x0
         self.fixed_timestep = fixed_timestep
+        # Compiled-program cache: repeated optimize() calls with the same
+        # static configuration (shapes, reg, ts, lr) reuse one compiled
+        # program; observations/targets are runtime arguments, not baked
+        # constants (the CLI calls optimize once per batch).
+        self._program_cache = {}
 
     def _build_reg_fn(self, regularization: Optional[str]) -> RegFn:
         return make_reg_fn(
@@ -142,39 +147,52 @@ class InversionEngine:
         y, mask = missing_trace(y, missing_number, return_mask=True,
                                 key=k_miss)
 
-        schedule = optax.cosine_decay_schedule(lr, decay_steps=ts, alpha=0.0)
-        optimizer = optax.adam(schedule)
-        opt_state = optimizer.init(mu)
+        cache_key = (reg_name, ts, float(lr), float(reg_lambda),
+                     float(self.sigma_x0), use_scan, mu.shape, y.shape,
+                     id(fwi_forward))
+        if cache_key not in self._program_cache:
+            schedule = optax.cosine_decay_schedule(lr, decay_steps=ts,
+                                                   alpha=0.0)
+            optimizer = optax.adam(schedule)
+            fwi_fn = fwi_forward._forward \
+                if hasattr(fwi_forward, '_forward') else fwi_forward
+            step = make_inversion_step(fwi_fn, reg_fn, optimizer,
+                                       reg_lambda, self.sigma_x0,
+                                       is_diffusion)
 
-        fwi_fn = fwi_forward._forward if hasattr(fwi_forward, '_forward') \
-            else fwi_forward
-        step = make_inversion_step(fwi_fn, reg_fn, optimizer, reg_lambda,
-                                   self.sigma_x0, is_diffusion)
+            @jax.jit
+            def run_scan(carry, keys, y, mask, mu_true_norm):
+                return jax.lax.scan(
+                    partial(step, y=y, mask=mask,
+                            mu_true_norm=mu_true_norm), carry, keys)
+
+            @jax.jit
+            def run_step(carry, k, y, mask, mu_true_norm):
+                return step(carry, k, y=y, mask=mask,
+                            mu_true_norm=mu_true_norm)
+
+            self._program_cache[cache_key] = (optimizer, run_scan, run_step)
+        optimizer, run_scan, run_step = self._program_cache[cache_key]
+        opt_state = optimizer.init(mu)
         step_keys = jax.random.split(key, ts)
 
         from red_diffeq_tpu.utils.profiling import StepTimer, trace
 
         if use_scan:
-            @jax.jit
-            def run(carry, keys):
-                return jax.lax.scan(
-                    partial(step, y=y, mask=mask, mu_true_norm=mu_true_norm),
-                    carry, keys)
-
             with trace(profile_dir):
-                (mu, opt_state), metrics = run((mu, opt_state), step_keys)
+                (mu, opt_state), metrics = run_scan(
+                    (mu, opt_state), step_keys, y, mask, mu_true_norm)
                 jax.block_until_ready(mu)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
         else:
-            jit_step = jax.jit(partial(step, y=y, mask=mask,
-                                       mu_true_norm=mu_true_norm))
             history = []
             timer = StepTimer()
             with trace(profile_dir):
                 for i in range(ts):
                     with timer:
-                        (mu, opt_state), m = jit_step((mu, opt_state),
-                                                      step_keys[i])
+                        (mu, opt_state), m = run_step(
+                            (mu, opt_state), step_keys[i], y, mask,
+                            mu_true_norm)
                     history.append(m)
                     if progress and (i % log_interval == 0 or i == ts - 1):
                         print(f"step {i:4d}/{ts}"

@@ -1,38 +1,35 @@
 """Pallas TPU kernels for the acoustic FD time stepper.
 
 The XLA path (solvers/acoustic.py:_xla_chunk) round-trips the wavefield
-through HBM every time step (~6 field transfers/step). These kernels keep
-the wavefield carry in VMEM scratch across a whole chunk of time steps —
-per-step HBM traffic drops to one receiver row — and implement the exact
-adjoint by hand:
+through HBM every time step. These kernels keep the wavefield in VMEM
+across a whole chunk of steps and, critically, fuse ``U`` FD steps into
+each grid iteration — profiling showed the kernel is bound by per-grid-
+iteration overhead (~7 us), not bandwidth or compute, so fewer, fatter
+iterations are the main lever.
 
-* ``_fwd_kernel``  — grid (B, ns, chunk): one (sample, shot) wavefield per
-  program, one FD step per innermost grid iteration; the state lives in
-  VMEM scratch, coefficient blocks stay resident while their block index
-  is unchanged; outputs only receiver rows and the final carry. The
-  per-shot (Hp, Wp) block keeps the whole working set ~5 MB — well under
-  the 16 MB VMEM of a v5e core (an all-shots block was measured at 22 MB).
-* ``_tape_kernel`` — same stepping, but writes every post-injection state
-  to an HBM tape (used only inside the backward pass of one chunk).
-* ``_bwd_kernel``  — reverse sweep over the tape computing cotangents for
-  the wavefield carry, the coefficient fields (alpha, temp1, temp2) and
-  the source-injection row. Relies on the self-adjointness of the
-  circular 4th-order Laplacian; coefficient cotangents accumulate across
-  shots directly in the output block (its index is constant over the
-  (shot, step) inner grid).
+Kernel family (grid (B, ns, chunk/U) — one (sample, shot) wavefield per
+program, innermost axis sweeps step-groups):
 
-Point-source injection is a row FMA against a precomputed injection field
-``inj`` (B, ns, Wp) holding beta_dt at each shot's source column (Mosaic
-has no value-level scatter); ``inj`` is the differentiable handle through
-which velocity gradients flow back from the source term. The Ricker
-wavelet is a config constant, so its cotangent is zero by design. Row
-updates go through the scratch ref (sliced ref stores are native; there
-is no value-level dynamic_update_slice either).
+* ``_fwd_kernel``  — U fused FD steps per iteration; wavefield carry in
+  VMEM scratch; receiver rows accumulate into a chunk-resident VMEM
+  output block (written back to HBM once per (sample, shot)).
+* ``_tape_kernel`` — same stepping, writing the U post-injection states
+  of each iteration to an HBM tape (backward pass only).
+* ``_bwd_kernel``  — reverse sweep: U adjoint steps per iteration against
+  two adjacent tape blocks, producing cotangents for the wavefield carry,
+  the coefficient fields (alpha, temp1, temp2) and the source-injection
+  row. Uses the self-adjointness of the circular 4th-order Laplacian.
 
-``pallas_chunk`` wraps the kernels as a ``jax.custom_vjp``: the forward
-saves only the chunk-start carry + coefficients; the backward re-runs the
-chunk through the tape kernel and sweeps it in reverse — an O(chunk) HBM
-tape that lives only during the backward of one chunk.
+Mosaic has no value-level scatter/DUS, so point injection is expressed as
+an iota row-mask FMA with the precomputed injection field ``inj``
+(B, ns, 1, Wp) holding beta_dt at each shot's source column; ``inj`` is
+the differentiable handle for the source term's velocity gradient. The
+Ricker wavelet is a config constant (zero cotangent by design).
+
+``pallas_chunk`` wraps the kernels as a ``jax.custom_vjp``: forward saves
+only the chunk-start carry + coefficients; backward re-runs the chunk via
+the tape kernel and sweeps it in reverse — an O(chunk) HBM tape that
+lives only during one chunk's backward.
 
 Semantics match reference red_diffeq/solvers/pde.py:61-86 exactly
 (roll-wraparound boundaries, post-injection recording).
@@ -48,6 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 C1, C2, C3 = -2.5, 4.0 / 3.0, -1.0 / 12.0
 
 
+def pick_unroll(chunk: int) -> int:
+    """Largest supported unroll factor dividing the chunk."""
+    for u in (10, 8, 5, 4, 2, 1):
+        if chunk % u == 0:
+            return u
+    return 1
+
+
+# The v5e core has 128 MB of VMEM; the Mosaic default scoped limit is
+# 16 MB. The haloed tape block + unrolled adjoint temporaries need more.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _roll(p, shift, axis):
     """Circular roll; pltpu.roll requires a non-negative shift."""
     return pltpu.roll(p, shift % p.shape[axis], axis)
@@ -61,9 +71,15 @@ def _lap(p):
                     + _roll(p, 2, 1) + _roll(p, -2, 1)))
 
 
+def _row_mask(hp, wp, row):
+    """(Hp, Wp) one-hot row indicator built from iota (static row)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    return (rows == row).astype(jnp.float32)
+
+
 def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
                 src_ref, p0_out, p1_out, rec_ref, state,
-                *, chunk, isz, igz, g0, g1):
+                *, unroll, n_iter, isz, igz, g0, g1):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -71,138 +87,139 @@ def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
         state[0] = p0_ref[0, 0]
         state[1] = p1_ref[0, 0]
 
-    par = j % 2
-    a = state[0]
-    b = state[1]
-    p0 = jnp.where(par == 0, a, b)
-    p1 = jnp.where(par == 0, b, a)
+    p0 = state[0]
+    p1 = state[1]
+    alpha = alpha_ref[0, 0]
+    t1 = t1_ref[0, 0]
+    t2 = t2_ref[0, 0]
+    inj_row = inj_ref[0, 0, 0]                        # (Wp,)
+    hp, wp = p0.shape
+    src_mask = _row_mask(hp, wp, isz)
 
-    p = (t1_ref[0, 0] * p1 - t2_ref[0, 0] * p0
-         + alpha_ref[0, 0] * _lap(p1))
-    row = p[isz, :] + inj_ref[0, 0, 0] * src_ref[j]
+    for u in range(unroll):
+        src_u = src_ref[j * unroll + u]
+        p = t1 * p1 - t2 * p0 + alpha * _lap(p1)
+        p = p + src_mask * (inj_row * src_u)[None, :]
+        rec_ref[0, 0, j * unroll + u] = p[igz, g0:g1]
+        p0, p1 = p1, p
 
-    # No value-level scatter/DUS on Mosaic: store the field, then overwrite
-    # the injected source row through the scratch ref.
-    @pl.when(par == 0)
+    state[0] = p0
+    state[1] = p1
+
+    @pl.when(j == n_iter - 1)
     def _():
-        state[0] = p
-        state[0, isz, :] = row
-
-    @pl.when(par == 1)
-    def _():
-        state[1] = p
-        state[1, isz, :] = row
-
-    rec_ref[0, 0, 0, 0] = row[g0:g1] if igz == isz else p[igz, g0:g1]
-
-    @pl.when(j == chunk - 1)
-    def _():
-        p0_out[0, 0] = p1
-
-    @pl.when((j == chunk - 1) & (par == 0))
-    def _():
-        p1_out[0, 0] = state[0]
-
-    @pl.when((j == chunk - 1) & (par == 1))
-    def _():
-        p1_out[0, 0] = state[1]
+        p0_out[0, 0] = p0
+        p1_out[0, 0] = p1
 
 
 def _tape_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
-                 src_ref, tape_ref, state, *, chunk, isz):
-    """Grid (B, ns, chunk+1). Iteration j=0 records tape[0] = p1_in;
-    iteration j >= 1 performs FD step j-1 and records the post-injection
-    state."""
+                 src_ref, tape_ref, state, *, unroll, isz):
+    """Haloed tape: block j holds [s_{jU-1}, s_{jU}, s_{jU+1..jU+U}]
+    (U+2 states) where s_m is the post-injection wavefield after m
+    forward steps (s_0 = p1_in, s_{-1} = p0_in). The 2-state halo means
+    the backward sweep needs exactly ONE tape block per iteration."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
         state[0] = p0_ref[0, 0]
         state[1] = p1_ref[0, 0]
-        tape_ref[0, 0, 0] = p1_ref[0, 0]
 
-    @pl.when(j > 0)
-    def _():
-        par = (j - 1) % 2
-        a = state[0]
-        b = state[1]
-        p0 = jnp.where(par == 0, a, b)
-        p1 = jnp.where(par == 0, b, a)
-        p = (t1_ref[0, 0] * p1 - t2_ref[0, 0] * p0
-             + alpha_ref[0, 0] * _lap(p1))
-        row = p[isz, :] + inj_ref[0, 0, 0] * src_ref[j - 1]
+    p0 = state[0]
+    p1 = state[1]
+    alpha = alpha_ref[0, 0]
+    t1 = t1_ref[0, 0]
+    t2 = t2_ref[0, 0]
+    inj_row = inj_ref[0, 0, 0]
+    hp, wp = p0.shape
+    src_mask = _row_mask(hp, wp, isz)
 
-        @pl.when(par == 0)
-        def _():
-            state[0] = p
-            state[0, isz, :] = row
-            tape_ref[0, 0, 0] = state[0]
+    tape_ref[0, 0, 0, 0] = p0
+    tape_ref[0, 0, 1, 0] = p1
+    for u in range(unroll):
+        src_u = src_ref[j * unroll + u]
+        p = t1 * p1 - t2 * p0 + alpha * _lap(p1)
+        p = p + src_mask * (inj_row * src_u)[None, :]
+        tape_ref[0, 0, 2 + u, 0] = p
+        p0, p1 = p1, p
 
-        @pl.when(par == 1)
-        def _():
-            state[1] = p
-            state[1, isz, :] = row
-            tape_ref[0, 0, 0] = state[1]
+    state[0] = p0
+    state[1] = p1
 
 
-def _bwd_kernel(tape_k_ref, tape_km1_ref, p0_in_ref, gp0_out_ref,
-                gp1_out_ref, rec_ct_ref, alpha_ref, t1_ref, t2_ref,
-                src_ref,
+def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
+                alpha_ref, t1_ref, t2_ref, src_ref,
                 gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref, ginj_ref,
-                carry, *, chunk, isz, igz, g0, g1):
-    """Grid (B, ns, chunk); iteration j reverses forward step
-    k = chunk-1-j for one (sample, shot) wavefield.
+                carry, *, unroll, n_iter, chunk, isz, igz, g0, g1):
+    """Iteration jj reverses forward steps m = chunk-jj*U ... chunk-U+1-jj*U
+    (1-based step index m; s_m = state after m steps) using the haloed
+    tape block of forward iteration j = n_iter-1-jj: block[i] = s_{jU-1+i}.
 
-    Adjoint recursion for p_{k+1} = t1*p_k - t2*p_{k-1} + alpha*L(p_k) + S:
-      v' = v + G^T rec_ct            (receiver gather transpose)
+    Adjoint recursion for s_m = t1*s_{m-1} - t2*s_{m-2} + alpha*L(s_{m-1})+S:
+      v' = v + G^T rec_ct_m
       (u, v) <- (-t2*v', u + t1*v' + L(alpha*v'))
-    with coefficient cotangents accumulated against taped states, summed
-    over shots via the constant-index output block.
+    with coefficient cotangents accumulated against taped states (summed
+    over shots through the constant-index output blocks).
     """
     s = pl.program_id(1)
-    j = pl.program_id(2)
-    k = chunk - 1 - j
+    jj = pl.program_id(2)
 
-    @pl.when(j == 0)
+    @pl.when(jj == 0)
     def _():
         carry[0] = gp0_out_ref[0, 0]
         carry[1] = gp1_out_ref[0, 0]
         ginj_ref[0, 0, 0] = jnp.zeros_like(ginj_ref[0, 0, 0])
 
-    @pl.when((j == 0) & (s == 0))
+    @pl.when((jj == 0) & (s == 0))
     def _():
         galpha_ref[0, 0] = jnp.zeros_like(galpha_ref[0, 0])
         gt1_ref[0, 0] = jnp.zeros_like(gt1_ref[0, 0])
         gt2_ref[0, 0] = jnp.zeros_like(gt2_ref[0, 0])
 
-    # Receiver cotangent flows into the post-injection state p_k (applied
-    # through the carry ref; no value-level DUS on Mosaic).
-    carry[1, igz, g0:g1] = carry[1, igz, g0:g1] + rec_ct_ref[0, 0, 0, 0]
-    u = carry[0]
+    u_c = carry[0]
     v = carry[1]
-
-    p_k = tape_k_ref[0, 0, 0]
-    p_km1 = jnp.where(k == 0, p0_in_ref[0, 0], tape_km1_ref[0, 0, 0])
-
-    # Injection-row cotangent: p_post = p_pre + inj * src_k at row isz.
-    ginj_ref[0, 0, 0] += v[isz, :] * src_ref[k]
-
     alpha = alpha_ref[0, 0]
     t1 = t1_ref[0, 0]
     t2 = t2_ref[0, 0]
+    hp, wp = u_c.shape
+    rec_mask = _row_mask(hp, wp, igz)
 
-    # Transposed stencil (L is self-adjoint under circular boundaries).
-    new_v = u + t1 * v + _lap(alpha * v)
-    new_u = -t2 * v
-    carry[0] = new_u
-    carry[1] = new_v
+    galpha_acc = jnp.zeros((hp, wp), jnp.float32)
+    gt1_acc = jnp.zeros((hp, wp), jnp.float32)
+    gt2_acc = jnp.zeros((hp, wp), jnp.float32)
+    ginj_acc = jnp.zeros((wp,), jnp.float32)
 
-    # Coefficient cotangents (accumulate across shots and steps).
-    galpha_ref[0, 0] += v * _lap(p_k)
-    gt1_ref[0, 0] += v * p_k
-    gt2_ref[0, 0] += -v * p_km1
+    for u in range(unroll):
+        local = unroll - u                # m - jU, descending U..1
+        k = chunk - 1 - jj * unroll - u   # 0-based step index m-1 (traced)
 
-    @pl.when(j == chunk - 1)
+        # Receiver cotangent into the post-injection state s_m
+        # (pre-padded to full width outside the kernel — Mosaic cannot
+        # concatenate unaligned 1-D vectors).
+        rec_full = rec_ct_ref[0, 0, k]                        # (Wp,)
+        v = v + rec_mask * rec_full[None, :]
+
+        s_m1 = tape_ref[0, 0, local, 0]       # s_{m-1}
+        s_m2 = tape_ref[0, 0, local - 1, 0]   # s_{m-2}
+
+        ginj_acc = ginj_acc + v[isz, :] * src_ref[k]
+
+        new_v = u_c + t1 * v + _lap(alpha * v)
+        new_u = -t2 * v
+
+        galpha_acc = galpha_acc + v * _lap(s_m1)
+        gt1_acc = gt1_acc + v * s_m1
+        gt2_acc = gt2_acc - v * s_m2
+        u_c, v = new_u, new_v
+
+    carry[0] = u_c
+    carry[1] = v
+    galpha_ref[0, 0] += galpha_acc
+    gt1_ref[0, 0] += gt1_acc
+    gt2_ref[0, 0] += gt2_acc
+    ginj_ref[0, 0, 0] += ginj_acc
+
+    @pl.when(jj == n_iter - 1)
     def _():
         gp0_ref[0, 0] = carry[0]
         gp1_ref[0, 0] = carry[1]
@@ -221,8 +238,8 @@ def _coef_spec(hp, wp):
 
 
 def _inj_spec(wp):
-    # inj is carried as (B, ns, 1, Wp) so the trailing two block dims
-    # satisfy Mosaic's tiling rule (second-to-last == array dim).
+    # inj carried as (B, ns, 1, Wp): trailing block dims satisfy the
+    # Mosaic tiling rule (second-to-last == array dim).
     return pl.BlockSpec((1, 1, 1, wp), lambda b, s, j: (b, s, 0, 0),
                         memory_space=pltpu.VMEM)
 
@@ -232,15 +249,23 @@ def _src_spec(chunk):
                         memory_space=pltpu.SMEM)
 
 
-def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk):
+def _rec_spec(chunk, ng):
+    """Chunk-resident receiver block: (B, ns, chunk, ng), one block per
+    (sample, shot), constant over the step axis -> stays in VMEM."""
+    return pl.BlockSpec((1, 1, chunk, ng), lambda b, s, j: (b, s, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll):
     b, ns, hp, wp = p0.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     ng = g1 - g0
-    kern = partial(_fwd_kernel, chunk=chunk, isz=geom.isz, igz=geom.igz,
-                   g0=g0, g1=g1)
+    n_iter = chunk // unroll
+    kern = partial(_fwd_kernel, unroll=unroll, n_iter=n_iter, isz=geom.isz,
+                   igz=geom.igz, g0=g0, g1=g1)
     return pl.pallas_call(
         kern,
-        grid=(b, ns, chunk),
+        grid=(b, ns, n_iter),
         in_specs=[
             _field_spec(hp, wp),
             _field_spec(hp, wp),
@@ -253,27 +278,26 @@ def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk):
         out_specs=[
             _field_spec(hp, wp),
             _field_spec(hp, wp),
-            # (B, chunk, ns, 1, ng): the singleton axis satisfies the
-            # Mosaic trailing-dims tiling rule for a one-row write.
-            pl.BlockSpec((1, 1, 1, 1, ng),
-                         lambda b_, s, j: (b_, j, s, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _rec_spec(chunk, ng),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ns, hp, wp), p0.dtype),
             jax.ShapeDtypeStruct((b, ns, hp, wp), p0.dtype),
-            jax.ShapeDtypeStruct((b, chunk, ns, 1, ng), p0.dtype),
+            jax.ShapeDtypeStruct((b, ns, chunk, ng), p0.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
     )(p0, p1, alpha, t1, t2, inj, src_chunk)
 
 
-def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk):
+def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
+              unroll):
     b, ns, hp, wp = p0.shape
-    kern = partial(_tape_kernel, chunk=chunk, isz=geom.isz)
+    n_iter = chunk // unroll
+    kern = partial(_tape_kernel, unroll=unroll, isz=geom.isz)
     return pl.pallas_call(
         kern,
-        grid=(b, ns, chunk + 1),
+        grid=(b, ns, n_iter),
         in_specs=[
             _field_spec(hp, wp),
             _field_spec(hp, wp),
@@ -284,40 +308,36 @@ def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk):
             _src_spec(chunk),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, hp, wp), lambda b_, s, j: (b_, j, s, 0, 0),
+            (1, 1, unroll + 2, 1, hp, wp),
+            lambda b_, s, j: (b_, j, 0, s, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, chunk + 1, ns, hp, wp), p0.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, chunk // unroll, unroll + 2, ns, hp, wp), p0.dtype),
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
     )(p0, p1, alpha, t1, t2, inj, src_chunk)
 
 
-def _run_bwd(tape, p0, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
-             *, geom, chunk):
-    b, ns, hp, wp = p0.shape
+def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
+             *, geom, chunk, unroll):
+    b, ns, hp, wp = gp0o.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     ng = g1 - g0
-    kern = partial(_bwd_kernel, chunk=chunk, isz=geom.isz, igz=geom.igz,
-                   g0=g0, g1=g1)
-    tape_spec_k = pl.BlockSpec(
-        (1, 1, 1, hp, wp),
-        lambda b_, s, j: (b_, chunk - 1 - j, s, 0, 0),
-        memory_space=pltpu.VMEM)
-    tape_spec_km1 = pl.BlockSpec(
-        (1, 1, 1, hp, wp),
-        lambda b_, s, j: (b_, jnp.maximum(chunk - 2 - j, 0), s, 0, 0),
+    n_iter = chunk // unroll
+    kern = partial(_bwd_kernel, unroll=unroll, n_iter=n_iter, chunk=chunk,
+                   isz=geom.isz, igz=geom.igz, g0=g0, g1=g1)
+    tape_spec = pl.BlockSpec(
+        (1, 1, unroll + 2, 1, hp, wp),
+        lambda b_, s, j: (b_, n_iter - 1 - j, 0, s, 0, 0),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(b, ns, chunk),
+        grid=(b, ns, n_iter),
         in_specs=[
-            tape_spec_k,
-            tape_spec_km1,
-            _field_spec(hp, wp),                         # p0_in
+            tape_spec,
             _field_spec(hp, wp),                         # g p0_out
             _field_spec(hp, wp),                         # g p1_out
-            pl.BlockSpec((1, 1, 1, 1, ng),
-                         lambda b_, s, j: (b_, chunk - 1 - j, s, 0, 0),
-                         memory_space=pltpu.VMEM),       # rec ct
+            _rec_spec(chunk, wp),                        # rec ct (padded)
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
@@ -340,31 +360,38 @@ def _run_bwd(tape, p0, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
             jax.ShapeDtypeStruct((b, ns, 1, wp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
-    )(tape, tape, p0, gp0o, gp1o, grec, alpha, t1, t2, src_chunk)
+        compiler_params=_COMPILER_PARAMS,
+    )(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk):
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
+                 unroll):
     """One chunk of FD time steps on TPU. Returns (p0', p1', recs) with
-    recs of shape (B, chunk, ns, ng)."""
-    p0o, p1o, rec5 = _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk,
-                              geom=geom, chunk=chunk)
-    return p0o, p1o, rec5[:, :, :, 0, :]
+    recs of shape (B, ns, chunk, ng)."""
+    return _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk,
+                    geom=geom, chunk=chunk, unroll=unroll)
 
 
-def _pallas_chunk_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk):
-    out = pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk)
+def _pallas_chunk_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
+                      unroll):
+    out = pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
+                       unroll)
     return out, (p0, p1, alpha, t1, t2, inj, src_chunk)
 
 
-def _pallas_chunk_bwd(geom, chunk, res, cts):
+def _pallas_chunk_bwd(geom, chunk, unroll, res, cts):
     p0, p1, alpha, t1, t2, inj, src_chunk = res
     gp0o, gp1o, grec = cts
     tape = _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk,
-                     geom=geom, chunk=chunk)
+                     geom=geom, chunk=chunk, unroll=unroll)
+    g0, g1 = geom.igx[0], geom.igx[-1] + 1
+    wp = p0.shape[-1]
+    grec_full = jnp.zeros((*grec.shape[:3], wp), grec.dtype)
+    grec_full = grec_full.at[:, :, :, g0:g1].set(grec)
     gp0, gp1, galpha, gt1, gt2, ginj = _run_bwd(
-        tape, p0, gp0o, gp1o, grec[:, :, :, None, :], alpha, t1, t2,
-        src_chunk, geom=geom, chunk=chunk)
+        tape, gp0o, gp1o, grec_full, alpha, t1, t2, src_chunk,
+        geom=geom, chunk=chunk, unroll=unroll)
     # The source wavelet is a config constant; its cotangent is unused.
     gsrc = jnp.zeros_like(src_chunk)
     return gp0, gp1, galpha, gt1, gt2, ginj, gsrc
@@ -393,11 +420,12 @@ def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk):
             "use backend='xla' for scattered receivers")
     wp = alpha.shape[-1]
     inj = build_injection_field(beta_pts, geom.isx, wp)
+    unroll = pick_unroll(chunk)
 
     def chunk_fn(carry, src_chunk):
         p0, p1 = carry
         p0o, p1o, recs = pallas_chunk(p0, p1, alpha, temp1, temp2, inj,
-                                      src_chunk, geom, chunk)
-        return (p0o, p1o), jnp.moveaxis(recs, 1, 0)
+                                      src_chunk, geom, chunk, unroll)
+        return (p0o, p1o), jnp.transpose(recs, (2, 0, 1, 3))
 
     return chunk_fn
