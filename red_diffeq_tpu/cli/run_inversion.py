@@ -197,15 +197,19 @@ def run_experiment(config: ml_collections.ConfigDict) -> Path:
     family_files = get_data_files(config)
     print(f'Found {len(family_files)} data families to process')
 
+    from red_diffeq_tpu.io.native_loader import NpyBatchLoader
+
     for family_name in family_files:
         print(f'\nProcessing: {family_name}')
         family_dir = results_dir / Path(family_name).stem
         family_dir.mkdir(exist_ok=True)
-        seis_mmap = np.load(Path(config.data.seismic_data_dir) / family_name,
-                            mmap_mode='r' if config.data.use_mmap else None)
-        vel_mmap = np.load(Path(config.data.velocity_data_dir) / family_name,
-                           mmap_mode='r' if config.data.use_mmap else None)
-        num_models = seis_mmap.shape[0]
+        # Native mmap loaders with background prefetch of the next batch
+        # (falls back to numpy mmap without a toolchain).
+        seis_loader = NpyBatchLoader(
+            Path(config.data.seismic_data_dir) / family_name)
+        vel_loader = NpyBatchLoader(
+            Path(config.data.velocity_data_dir) / family_name)
+        num_models = len(seis_loader)
 
         sample_index = config.data.get('sample_index', None)
         if sample_index is not None:
@@ -219,16 +223,21 @@ def run_experiment(config: ml_collections.ConfigDict) -> Path:
             batches = [(s, min(s + bs, num_models))
                        for s in range(0, num_models, bs)]
 
-        for batch_start, batch_end in batches:
+        for i, (batch_start, batch_end) in enumerate(batches):
+            if i + 1 < len(batches):
+                nxt_start, nxt_end = batches[i + 1]
+                seis_loader.prefetch(nxt_start, nxt_end - nxt_start)
+                vel_loader.prefetch(nxt_start, nxt_end - nxt_start)
             key, sub = jax.random.split(key)
-            seis_batch = np.array(seis_mmap[batch_start:batch_end],
-                                  dtype=np.float32)
-            vel_batch = np.array(vel_mmap[batch_start:batch_end],
-                                 dtype=np.float32)
+            seis_batch = seis_loader[batch_start:batch_end].astype(
+                np.float32)
+            vel_batch = vel_loader[batch_start:batch_end].astype(np.float32)
             mu, per_model, mu0 = process_batch(
                 seis_batch, vel_batch, config, engine, fwi_forward, key=sub)
             save_batch_results(batch_start, mu, per_model, mu0, vel_batch,
                                family_dir)
+        seis_loader.close()
+        vel_loader.close()
 
     print(f'\nExperiment complete! Results saved to: {results_dir}')
     return results_dir

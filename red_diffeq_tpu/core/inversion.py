@@ -113,13 +113,26 @@ class InversionEngine:
                  key: Optional[jax.Array] = None,
                  use_scan: bool = True, progress: bool = True,
                  log_interval: int = 50,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 mesh=None,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 50,
+                 resume: bool = False):
         """Run ``ts`` optimization steps; returns (mu_cropped, per-sample
         metric curves) exactly like reference inversion.py:26-129.
 
         ``mu``: initial model, padded (B, 1, H+2, W+2), in [-1, 1].
         ``mu_true``: ground truth in m/s, (B, 1, H, W).
         ``y``: observed seismograms (B, ns, nt, ng).
+        ``mesh``: optional ('data', 'shot') jax.sharding.Mesh — the batch
+        is sharded over 'data' and the sources over 'shot'; XLA inserts
+        the per-sample loss psum over ICI (no code change in the step).
+
+        Checkpoint/resume (absent from the reference, SURVEY.md §5): with
+        ``checkpoint_path`` the scan runs in ``checkpoint_every``-step
+        segments, saving (mu, opt_state, step, metrics) after each;
+        ``resume=True`` continues a previous run from the saved step with
+        identical results (step keys derive from the base key).
         """
         if mu.shape[0] != y.shape[0]:
             raise ValueError('Batch size mismatch between velocity and seismic data')
@@ -146,6 +159,15 @@ class InversionEngine:
                                  key=k_noise)
         y, mask = missing_trace(y, missing_number, return_mask=True,
                                 key=k_miss)
+
+        if mesh is not None:
+            from red_diffeq_tpu.parallel.mesh import (
+                batch_sharding, batch_shot_sharding,
+            )
+            mu = jax.device_put(mu, batch_sharding(mesh))
+            mu_true_norm = jax.device_put(mu_true_norm, batch_sharding(mesh))
+            y = jax.device_put(y, batch_shot_sharding(mesh))
+            mask = jax.device_put(mask, batch_shot_sharding(mesh))
 
         cache_key = (reg_name, ts, float(lr), float(reg_lambda),
                      float(self.sigma_x0), use_scan, mu.shape, y.shape,
@@ -178,7 +200,11 @@ class InversionEngine:
 
         from red_diffeq_tpu.utils.profiling import StepTimer, trace
 
-        if use_scan:
+        if use_scan and checkpoint_path is not None:
+            mu, opt_state, metrics = self._run_checkpointed(
+                run_scan, mu, opt_state, step_keys, y, mask, mu_true_norm,
+                ts, checkpoint_path, checkpoint_every, resume)
+        elif use_scan:
             with trace(profile_dir):
                 (mu, opt_state), metrics = run_scan(
                     (mu, opt_state), step_keys, y, mask, mu_true_norm)
@@ -212,3 +238,50 @@ class InversionEngine:
                               for k in ('total_losses', 'obs_losses',
                                         'reg_losses', 'ssim', 'mae', 'rmse')})
         return mu[:, :, 1:-1, 1:-1], per_model
+
+    def _run_checkpointed(self, run_scan, mu, opt_state, step_keys, y,
+                          mask, mu_true_norm, ts, checkpoint_path,
+                          checkpoint_every, resume):
+        """Segmented scan with state snapshots after every segment."""
+        from pathlib import Path
+
+        from flax import serialization
+
+        seg = max(1, int(checkpoint_every))
+        path = Path(checkpoint_path)
+        start = 0
+        metric_parts = []
+
+        if resume and path.exists():
+            template = {'step': 0, 'mu': mu, 'opt_state': opt_state,
+                        'metrics': None}
+            with open(path, 'rb') as f:
+                state = serialization.from_bytes(template, f.read())
+            start = int(state['step'])
+            mu = state['mu']
+            opt_state = state['opt_state']
+            if state['metrics'] is not None:
+                metric_parts.append(
+                    {k: np.asarray(v) for k, v in state['metrics'].items()})
+            print(f'Resumed inversion from step {start} ({path})')
+
+        i = start
+        while i < ts:
+            n = min(seg, ts - i)
+            (mu, opt_state), m = run_scan((mu, opt_state),
+                                          step_keys[i:i + n], y, mask,
+                                          mu_true_norm)
+            jax.block_until_ready(mu)
+            metric_parts.append({k: np.asarray(v) for k, v in m.items()})
+            i += n
+            merged = {k: np.concatenate([p[k] for p in metric_parts])
+                      for k in metric_parts[0]}
+            snapshot = {'step': i, 'mu': mu, 'opt_state': opt_state,
+                        'metrics': merged}
+            path.parent.mkdir(parents=True, exist_ok=True)
+            with open(path, 'wb') as f:
+                f.write(serialization.to_bytes(snapshot))
+
+        metrics = {k: np.concatenate([p[k] for p in metric_parts])
+                   for k in metric_parts[0]}
+        return mu, opt_state, metrics

@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the 8 virtual CPU devices
+(SURVEY.md §4 layer 5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from red_diffeq_tpu.core.inversion import InversionEngine
+from red_diffeq_tpu.parallel.mesh import (
+    batch_sharding, batch_shot_sharding, make_mesh, replicated,
+    shard_inversion_inputs,
+)
+from red_diffeq_tpu.solvers.acoustic import FWIForward
+from red_diffeq_tpu.utils.data_trans import v_denormalize, v_normalize
+
+
+def _cpu_devices(n):
+    devs = jax.devices('cpu')
+    if len(devs) < n:
+        pytest.skip(f'need {n} cpu devices, have {len(devs)}')
+    return devs[:n]
+
+
+def test_make_mesh_shapes():
+    devs = _cpu_devices(8)
+    mesh = make_mesh(data=4, shot=2, devices=devs)
+    assert mesh.shape == {'data': 4, 'shot': 2}
+    mesh2 = make_mesh(data=-1, shot=2, devices=devs)
+    assert mesh2.shape == {'data': 4, 'shot': 2}
+    with pytest.raises(AssertionError):
+        make_mesh(data=8, shot=2, devices=devs)
+
+
+def test_shard_inversion_inputs_placement():
+    devs = _cpu_devices(8)
+    mesh = make_mesh(data=4, shot=2, devices=devs)
+    mu = jnp.zeros((4, 1, 8, 8))
+    mu_true = jnp.zeros((4, 1, 8, 8))
+    y = jnp.zeros((4, 2, 16, 8))
+    mu_s, mt_s, y_s = shard_inversion_inputs(mesh, mu, mu_true, y)
+    assert mu_s.sharding == batch_sharding(mesh)
+    assert y_s.sharding == batch_shot_sharding(mesh)
+    # each device holds a (1, 1, 16, 8) shard of y
+    shard_shapes = {s.data.shape for s in y_s.addressable_shards}
+    assert shard_shapes == {(1, 1, 16, 8)}
+
+
+def test_engine_sharded_matches_single_device():
+    """Same seed, same data: the (data x shot)-sharded optimization must
+    match the unsharded result (pure data decomposition + one psum)."""
+    devs = _cpu_devices(8)
+    mesh = make_mesh(data=4, shot=2, devices=devs)
+
+    n, nt, ns, nbc = 16, 40, 2, 8
+    ctx = dict(n_grid=n, nt=nt, dx=10.0, dt=0.001, nbc=nbc, f=15.0,
+               sz=10, gz=10, ng=n, ns=ns)
+    op = FWIForward(ctx, normalize=True, v_denorm_func=v_denormalize,
+                    s_norm_func=lambda s: s, backend='xla', chunk=10)
+    rng = np.random.RandomState(0)
+    v_true = np.full((4, 1, n, n), 2000.0, np.float32)
+    for b in range(4):
+        v_true[b, :, 6 + b:, :] = 2800.0
+    v_true = jnp.asarray(v_true)
+    y = op(v_normalize(v_true))
+    mu0 = jnp.pad(v_normalize(jnp.full((4, 1, n, n), 2400.0)),
+                  ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    engine = InversionEngine(regularization=None)
+    mu_a, pm_a = engine.optimize(mu0, v_true, y, op, ts=5, lr=0.05,
+                                 key=jax.random.PRNGKey(1), progress=False)
+
+    engine_b = InversionEngine(regularization=None)
+    with mesh:
+        mu_b, pm_b = engine_b.optimize(mu0, v_true, y, op, ts=5, lr=0.05,
+                                       key=jax.random.PRNGKey(1),
+                                       progress=False, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(pm_a[0]['mae'], pm_b[0]['mae'], atol=1e-5)
