@@ -122,6 +122,7 @@ class Trainer:
             self._sharding = NamedSharding(mesh, P('data'))
 
         self._train_step = jax.jit(self._make_train_step())
+        self._train_multi = jax.jit(self._make_train_multi())
 
     # -- jitted step -----------------------------------------------------
 
@@ -173,6 +174,28 @@ class Trainer:
             return params, opt_state, ema_params, new_step, loss_sum / grad_accum
 
         return train_step
+
+    def _make_train_multi(self):
+        """Scan K train steps in one dispatch — on remote-tunneled TPUs
+        the per-dispatch round trip (~50 ms) would otherwise dominate."""
+        step_fn = self._make_train_step()
+
+        def multi(params, opt_state, ema_params, step, batches_stack, key):
+            keys = jax.random.split(key, batches_stack.shape[0])
+
+            def body(carry, xs):
+                params, opt_state, ema_params, step = carry
+                batches, k = xs
+                params, opt_state, ema_params, step, loss = step_fn(
+                    params, opt_state, ema_params, step, batches, k)
+                return (params, opt_state, ema_params, step), loss
+
+            (params, opt_state, ema_params, step), losses = jax.lax.scan(
+                body, (params, opt_state, ema_params, step),
+                (batches_stack, keys))
+            return params, opt_state, ema_params, step, losses
+
+        return multi
 
     # -- checkpointing (reference models/diffusion.py:617-649) ----------
 
@@ -226,24 +249,31 @@ class Trainer:
                                        P(None, 'data')))
         return batches
 
-    def train(self, log_every: int = 100):
+    def train(self, log_every: int = 100, steps_per_call: int = 20):
         t0 = time.time()
         while self.step < self.train_num_steps:
+            # How many steps until the next milestone boundary?
+            to_milestone = self.save_and_sample_every - (
+                self.step % self.save_and_sample_every)
+            k = min(steps_per_call, self.train_num_steps - self.step,
+                    to_milestone)
             self._key, sub = jax.random.split(self._key)
-            batches = self._next_batches()
+            batches_stack = jnp.stack(
+                [self._next_batches() for _ in range(k)])
             (self.params, self.opt_state, self.ema_params, new_step,
-             loss) = self._train_step(self.params, self.opt_state,
-                                      self.ema_params, self.step, batches,
-                                      sub)
-            self.step = int(new_step) if not isinstance(new_step, int) \
-                else new_step
-            loss_val = float(loss)
-            self.training_losses.append({'step': self.step - 1,
-                                         'loss': loss_val})
-            if self.step % log_every == 0:
+             losses) = self._train_multi(self.params, self.opt_state,
+                                         self.ema_params, self.step,
+                                         batches_stack, sub)
+            losses = np.asarray(losses)
+            for i, lv in enumerate(losses):
+                self.training_losses.append({'step': self.step + i,
+                                             'loss': float(lv)})
+            self.step = int(new_step)
+            if self.step % log_every < k:
                 rate = self.step / (time.time() - t0)
                 print(f'step {self.step}/{self.train_num_steps} '
-                      f'loss {loss_val:.4f} ({rate:.1f} steps/s)', flush=True)
+                      f'loss {float(losses[-1]):.4f} '
+                      f'({rate:.1f} steps/s)', flush=True)
             if self.step % self.save_and_sample_every == 0:
                 milestone = self.step // self.save_and_sample_every
                 self._sample_and_save(milestone)

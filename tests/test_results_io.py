@@ -40,3 +40,23 @@ def test_load_marmousi_flat_and_subdir(tmp_path):
     _write_npz(root2 / 'marmousi' / '0_results.npz', 0.1)
     out2 = load_marmousi(root2, return_final_only=True)
     assert abs(out2['MAE'] - 0.2) < 1e-6
+
+
+def test_synthetic_generator_families():
+    from red_diffeq_tpu.io.synthetic import (
+        generate_mixed_dataset, generate_velocity_models,
+    )
+    for fam in ('FlatVel', 'CurveVel', 'FlatFault', 'CurveFault'):
+        v = generate_velocity_models(3, family=fam, seed=2)
+        assert v.shape == (3, 1, 70, 70)
+        assert v.min() >= 1500.0 and v.max() <= 4500.0
+        # velocity increases with depth on average
+        prof = v.mean(axis=(0, 1, 3))
+        assert prof[-1] > prof[0]
+        # flat families have laterally-invariant columns
+        if fam == 'FlatVel':
+            assert np.allclose(v[:, :, :, 0], v[:, :, :, -1])
+    mixed = generate_mixed_dataset(11, seed=0)
+    assert mixed.shape == (11, 1, 70, 70)
+    # deterministic under the same seed
+    np.testing.assert_array_equal(mixed, generate_mixed_dataset(11, seed=0))
