@@ -111,8 +111,19 @@ def prepare_batch_initial_models(vel_batch: np.ndarray,
     return jnp.pad(jnp.asarray(init), ((0, 0), (0, 0), (1, 1), (1, 1)))
 
 
+def build_mesh(config: ml_collections.ConfigDict):
+    """Optional ('data', 'shot') mesh from the tpu config section."""
+    tpu_cfg = config.get('tpu', {})
+    data = int(tpu_cfg.get('mesh_data', 1))
+    shot = int(tpu_cfg.get('mesh_shot', 1))
+    if data * shot <= 1:
+        return None
+    from red_diffeq_tpu.parallel.mesh import make_mesh
+    return make_mesh(data=data, shot=shot)
+
+
 def process_batch(seis_batch, vel_batch, config, engine, fwi_forward,
-                  key=None):
+                  key=None, mesh=None):
     """One batch through the engine (reference run_inversion.py:132-177)."""
     mu0 = prepare_batch_initial_models(vel_batch, config)
     reg = config.optimization.regularization
@@ -131,6 +142,7 @@ def process_batch(seis_batch, vel_batch, config, engine, fwi_forward,
         regularization=reg,
         key=key,
         use_scan=bool(config.get('tpu', {}).get('use_scan', True)),
+        mesh=mesh,
     )
     return mu, per_model, mu0
 
@@ -197,6 +209,11 @@ def run_experiment(config: ml_collections.ConfigDict) -> Path:
     family_files = get_data_files(config)
     print(f'Found {len(family_files)} data families to process')
 
+    mesh = build_mesh(config)
+    if mesh is not None:
+        print(f'Device mesh: data={mesh.shape["data"]} '
+              f'shot={mesh.shape["shot"]}')
+
     from red_diffeq_tpu.io.native_loader import NpyBatchLoader
 
     for family_name in family_files:
@@ -233,7 +250,8 @@ def run_experiment(config: ml_collections.ConfigDict) -> Path:
                 np.float32)
             vel_batch = vel_loader[batch_start:batch_end].astype(np.float32)
             mu, per_model, mu0 = process_batch(
-                seis_batch, vel_batch, config, engine, fwi_forward, key=sub)
+                seis_batch, vel_batch, config, engine, fwi_forward,
+                key=sub, mesh=mesh)
             save_batch_results(batch_start, mu, per_model, mu0, vel_batch,
                                family_dir)
         seis_loader.close()

@@ -1,0 +1,106 @@
+"""Quality evaluation: RED-DiffEq vs TV vs unregularized on held-out
+synthetic OpenFWI-style samples.
+
+Runs the full reference workload (70x70, nt=1000, ns=5, ts=300 steps,
+seed 8888) for each regularization and reports final MAE/RMSE/SSIM —
+the apples-to-apples quality comparison behind the perf headline.
+
+Usage:
+    python tools/eval_quality.py [--ckpt pretrained_models/model-synthetic-ema.ckpt]
+        [--n 4] [--ts 300] [--out QUALITY.md]
+"""
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--ckpt', type=Path,
+                   default=Path('pretrained_models/model-synthetic-ema.ckpt'))
+    p.add_argument('--n', type=int, default=4)
+    p.add_argument('--ts', type=int, default=300)
+    p.add_argument('--noise_std', type=float, default=0.0)
+    p.add_argument('--missing_number', type=int, default=0)
+    p.add_argument('--out', type=Path, default=None)
+    args = p.parse_args(argv)
+
+    from red_diffeq_tpu.core.inversion import InversionEngine
+    from red_diffeq_tpu.io.checkpoints import load_diffusion_params
+    from red_diffeq_tpu.io.synthetic import generate_mixed_dataset
+    from red_diffeq_tpu.models.diffusion import GaussianDiffusion
+    from red_diffeq_tpu.models.unet import Unet
+    from red_diffeq_tpu.solvers.acoustic import FWIForward
+    from red_diffeq_tpu.utils.data_trans import (
+        prepare_initial_model, s_normalize_none, v_denormalize, v_normalize,
+    )
+
+    ctx = dict(n_grid=70, nt=1000, dx=10.0, dt=0.001, nbc=120, f=15.0,
+               sz=10, gz=10, ng=70, ns=5)
+    backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+    op = FWIForward(ctx, normalize=True, v_denorm_func=v_denormalize,
+                    s_norm_func=s_normalize_none, backend=backend, chunk=20)
+
+    model = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1)
+    diffusion = GaussianDiffusion(model, image_size=72, timesteps=1000,
+                                  objective='pred_noise')
+    load_diffusion_params(diffusion, str(args.ckpt))
+
+    # Held-out: generator seed far from the pretraining seed (42..145).
+    v_true = generate_mixed_dataset(args.n, seed=7777)
+    v_true_j = jnp.asarray(v_true)
+    y = op(v_normalize(v_true_j))
+    init = np.concatenate([
+        prepare_initial_model(v_true[b:b + 1], 'smoothed', sigma=10.0)
+        for b in range(args.n)])
+    mu0 = jnp.pad(jnp.asarray(init), ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    results = {}
+    for reg, lam in (('none', 0.0), ('tv', 0.01), ('l2', 0.01),
+                     ('diffusion', 0.75)):
+        engine = InversionEngine(diffusion, regularization=reg,
+                                 sigma_x0=1e-4)
+        t0 = time.time()
+        _, per_model = engine.optimize(
+            mu0, v_true_j, y, op, ts=args.ts, lr=0.03, reg_lambda=lam,
+            noise_std=args.noise_std, missing_number=args.missing_number,
+            regularization=None if reg == 'none' else reg,
+            key=jax.random.PRNGKey(8888), use_scan=True, progress=False)
+        dt = time.time() - t0
+        final = {
+            'MAE': float(np.mean([pm['mae'][-1] for pm in per_model])),
+            'RMSE': float(np.mean([pm['rmse'][-1] for pm in per_model])),
+            'SSIM': float(np.mean([pm['ssim'][-1] for pm in per_model])),
+            'initial_SSIM': float(np.mean([pm['ssim'][0]
+                                           for pm in per_model])),
+            'seconds_per_sample': round(dt / args.n, 2),
+        }
+        results[reg] = final
+        print(f'{reg:10s} MAE {final["MAE"]:.4f}  RMSE {final["RMSE"]:.4f}'
+              f'  SSIM {final["SSIM"]:.4f}  ({final["seconds_per_sample"]}'
+              f' s/sample)', flush=True)
+
+    print(json.dumps(results))
+    if args.out:
+        lines = ['# Quality evaluation (synthetic held-out OpenFWI-style)',
+                 '',
+                 f'n={args.n} samples, ts={args.ts}, nt=1000, ns=5, '
+                 f'seed 8888, backend={backend}, '
+                 f'noise_std={args.noise_std}, '
+                 f'missing={args.missing_number}', '',
+                 '| regularization | MAE | RMSE | SSIM | s/sample |',
+                 '|---|---|---|---|---|']
+        for reg, r in results.items():
+            lines.append(f'| {reg} | {r["MAE"]:.4f} | {r["RMSE"]:.4f} | '
+                         f'{r["SSIM"]:.4f} | {r["seconds_per_sample"]} |')
+        args.out.write_text('\n'.join(lines) + '\n')
+        print(f'wrote {args.out}')
+
+
+if __name__ == '__main__':
+    main()
