@@ -60,3 +60,17 @@ def test_synthetic_generator_families():
     assert mixed.shape == (11, 1, 70, 70)
     # deterministic under the same seed
     np.testing.assert_array_equal(mixed, generate_mixed_dataset(11, seed=0))
+
+
+def test_ablation_config_grid(tmp_path):
+    import subprocess, sys
+    r = subprocess.run(
+        [sys.executable, 'configs/ablation/generate_ablations.py',
+         '--out', str(tmp_path)], capture_output=True, text=True,
+        cwd='/root/repo')
+    assert r.returncode == 0, r.stderr
+    import yaml
+    files = sorted(tmp_path.rglob('*.yaml'))
+    assert len(files) == 30  # 5 trick sets x 3 budgets x 2 datasets
+    cfg = yaml.safe_load(files[0].read_text())
+    assert 'optimization' in cfg and 'diffusion_ts' in cfg['optimization']
