@@ -42,18 +42,18 @@ def main():
                                   sampling_timesteps=250,
                                   objective='pred_noise')
     diffusion.init_params(jax.random.PRNGKey(0))
+    # Use the self-pretrained prior when present (QUALITY.md) so the
+    # reported SSIM reflects the real method, not a random denoiser.
+    from pathlib import Path as _P
+    ckpt = _P('pretrained_models/model-synthetic-ema.ckpt')
+    if ckpt.exists():
+        from red_diffeq_tpu.io.checkpoints import load_diffusion_params
+        load_diffusion_params(diffusion, str(ckpt))
 
-    # Synthetic layered OpenFWI-style truth; observations from the
-    # forward operator itself (no dataset ships with the reference).
-    rng = np.random.RandomState(8888)
-    v_true = np.full((BATCH, 1, 70, 70), 1500.0, np.float32)
-    for b in range(BATCH):
-        depths = sorted(rng.randint(5, 65, size=3))
-        vels = np.sort(1500 + 3000 * rng.rand(4))
-        v = np.full((70, 70), vels[0], np.float32)
-        for d, vv in zip(depths, vels[1:]):
-            v[d:, :] = vv
-        v_true[b, 0] = v
+    # Synthetic OpenFWI-style truths (held-out seed); observations from
+    # the forward operator itself (no dataset ships with the reference).
+    from red_diffeq_tpu.io.synthetic import generate_mixed_dataset
+    v_true = generate_mixed_dataset(BATCH, seed=8888)
     v_true_j = jnp.asarray(v_true)
     y = op(v_normalize(v_true_j))
 
