@@ -2,6 +2,11 @@
 example/example_openfwi.ipynb): run a single-sample RED-DiffEq inversion
 and plot ground truth / result / absolute error.
 
+If the configured dataset directory does not exist, a synthetic
+OpenFWI-style dataset is generated on the fly (the real datasets are not
+distributable), and the self-pretrained prior checkpoint is used when
+present.
+
 Usage:
     python examples/example_openfwi.py [--config configs/openfwi/red-diffeq.yaml]
 """
@@ -11,6 +16,47 @@ from pathlib import Path
 import numpy as np
 
 from red_diffeq_tpu.cli.run_inversion import main as run_inversion_main
+
+
+def ensure_dataset(config_path: str) -> list:
+    """Create a synthetic dataset + config override if data is missing.
+    Returns extra CLI args."""
+    import tempfile
+
+    import jax.numpy as jnp
+    import yaml
+
+    from red_diffeq_tpu.config import load_config, save_config
+    from red_diffeq_tpu.io.synthetic import generate_mixed_dataset
+    from red_diffeq_tpu.solvers.acoustic import FWIForward
+    from red_diffeq_tpu.utils.data_trans import (
+        s_normalize_none, v_denormalize, v_normalize,
+    )
+
+    cfg = load_config(config_path)
+    if Path(cfg.data.seismic_data_dir).exists():
+        return ['--config', config_path]
+
+    print('dataset not found -> generating a synthetic OpenFWI-style one')
+    root = Path(tempfile.mkdtemp(prefix='red_diffeq_synth_'))
+    (root / 'Seismic_Data').mkdir(parents=True)
+    (root / 'Velocity_Data').mkdir(parents=True)
+    vel = generate_mixed_dataset(2, h=70, w=int(cfg.pde.ng), seed=1234)
+    op = FWIForward(cfg.pde.to_dict(), normalize=True,
+                    v_denorm_func=v_denormalize,
+                    s_norm_func=s_normalize_none)
+    seis = np.asarray(op(v_normalize(jnp.asarray(vel))))
+    np.save(root / 'Seismic_Data' / 'CV.npy', seis)
+    np.save(root / 'Velocity_Data' / 'CV.npy', vel)
+
+    cfg.data.seismic_data_dir = str(root / 'Seismic_Data')
+    cfg.data.velocity_data_dir = str(root / 'Velocity_Data')
+    ema = Path('pretrained_models/model-synthetic-ema.ckpt')
+    if ema.exists():
+        cfg.diffusion.model_path = str(ema)
+    override = root / 'config.yaml'
+    save_config(cfg, override)
+    return ['--config', str(override)]
 
 
 def plot_results(run_dir: Path):
@@ -42,8 +88,8 @@ if __name__ == '__main__':
     p.add_argument('--config', default='configs/openfwi/red-diffeq.yaml')
     p.add_argument('--results_dir', default='experiment/example_openfwi')
     args = p.parse_args()
-    run_inversion_main(['--config', args.config,
-                        '--sample_index', '0',
+    run_inversion_main(ensure_dataset(args.config) +
+                       ['--sample_index', '0',
                         '--results_dir', args.results_dir,
                         '--random_seed', '8888'])
     run_dir = sorted(Path(args.results_dir).rglob('config.yaml'))[-1].parent
