@@ -16,7 +16,7 @@ TPU redesign:
 * patch-based denoising batches all windows into one U-Net call.
 """
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

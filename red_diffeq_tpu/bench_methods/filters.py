@@ -5,8 +5,6 @@ model with torchvision (reference diffusion_bench/diffusionfwi.py:289-296,
 311-316) — a per-iteration device->CPU->device round trip. Here both are
 separable convolutions that stay on the TPU inside the jitted loop.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,6 @@ kernel is stretched by 1/scale when downscaling, sample positions use the
 half-pixel convention, out-of-range taps fold back with mirror boundary
 handling, and each row normalizes to 1.
 """
-from functools import lru_cache
 from math import pi
 from typing import Optional, Sequence, Tuple, Union
 

@@ -14,7 +14,7 @@ Reference: red_diffeq/core/inversion.py:12-129. TPU-first redesign:
 * randomness is explicit: a base key is split per step.
 """
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -221,11 +221,13 @@ class InversionEngine:
                             mu_true_norm)
                     history.append(m)
                     if progress and (i % log_interval == 0 or i == ts - 1):
+                        t_str = (f"  t {int(round(float(m['t'].mean())))}"
+                                 if 't' in m else '')
                         print(f"step {i:4d}/{ts}"
                               f"  MAE {float(m['mae'].mean()):.4f}"
                               f"  RMSE {float(m['rmse'].mean()):.4f}"
-                              f"  SSIM {float(m['ssim'].mean()):.4f}",
-                              flush=True)
+                              f"  SSIM {float(m['ssim'].mean()):.4f}"
+                              + t_str, flush=True)
             if progress and timer.times:
                 print(f'timing: {timer.summary()}', flush=True)
             metrics = {k: np.stack([np.asarray(h[k]) for h in history])

@@ -11,8 +11,6 @@ from pathlib import Path
 from typing import Optional
 
 import jax
-import numpy as np
-
 from flax import serialization
 
 

@@ -13,8 +13,6 @@ pretrain -> invert pipeline runs self-contained:
 
 Velocities span [1500, 4500] m/s like OpenFWI; output shape (N, 1, H, W).
 """
-from typing import Optional
-
 import numpy as np
 
 V_MIN, V_MAX = 1500.0, 4500.0

@@ -8,9 +8,8 @@ precomputed in float64 on the host and stored as float32 device constants
 ``lax.fori_loop`` programs, fully jittable.
 """
 import math
-from dataclasses import dataclass, field, replace
-from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

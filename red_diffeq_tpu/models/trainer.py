@@ -22,9 +22,8 @@ periodic EMA sampling. TPU-first differences:
 import json
 import time
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
-from typing import Any, Optional
+
 
 import jax
 import jax.numpy as jnp
