@@ -1,0 +1,102 @@
+"""Coverage for less-traveled API surfaces: sampler variants, seed
+context, config helpers, bf16 denoiser, interpolate."""
+import io
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from red_diffeq_tpu.config import get_config, get_marmousi_config, \
+    print_config, update_config
+from red_diffeq_tpu.models.diffusion import GaussianDiffusion
+from red_diffeq_tpu.models.unet import Unet
+from red_diffeq_tpu.utils.seed_utils import (
+    SeedContext, get_rng_state, next_key, set_rng_state, set_seed,
+)
+
+
+@pytest.fixture(scope='module')
+def tiny():
+    model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    d = GaussianDiffusion(model, image_size=16, timesteps=10,
+                          sampling_timesteps=4, objective='pred_noise')
+    d.init_params(jax.random.PRNGKey(0))
+    return d
+
+
+def test_sample_return_all_timesteps(tiny):
+    out = tiny.p_sample_loop((1, 1, 16, 16), jax.random.PRNGKey(0),
+                             return_all_timesteps=True)
+    assert out.shape == (1, 11, 1, 16, 16)  # init + 10 steps
+    out2 = tiny.ddim_sample((1, 1, 16, 16), jax.random.PRNGKey(0),
+                            return_all_timesteps=True)
+    assert out2.shape == (1, 5, 1, 16, 16)  # init + 4 ddim steps
+
+
+def test_interpolate(tiny):
+    x1 = jnp.zeros((1, 1, 16, 16))
+    x2 = jnp.ones((1, 1, 16, 16))
+    out = tiny.interpolate(x1, x2, jax.random.PRNGKey(1), t=5, lam=0.3)
+    assert out.shape == x1.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bf16_apply(tiny):
+    d16 = tiny.with_params(tiny.params)
+    d16.half_precision = True
+    x = jnp.zeros((1, 1, 16, 16))
+    out = d16.apply_fn(x, jnp.array([3.0]))
+    assert out.dtype == jnp.float32
+    out32 = tiny.apply_fn(x, jnp.array([3.0]))
+    # bf16 forward stays close to fp32
+    denom = float(jnp.max(jnp.abs(out32))) + 1e-9
+    assert float(jnp.max(jnp.abs(out - out32))) / denom < 0.1
+
+
+def test_objectives_pred_x0_and_v():
+    model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    for obj in ('pred_x0', 'pred_v'):
+        d = GaussianDiffusion(model, image_size=16, timesteps=8,
+                              objective=obj)
+        d.init_params(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16))
+        pred = d.model_predictions(x, jnp.array([3, 5]), clip_x_start=True)
+        assert float(jnp.max(jnp.abs(pred.pred_x_start))) <= 1.0
+        loss = d.loss(d.params, (x + 1) / 2, jax.random.PRNGKey(2))
+        assert np.isfinite(float(loss))
+
+
+def test_seed_context_restores_state():
+    set_seed(1)
+    k_before = np.asarray(next_key())
+    set_seed(1)
+    with SeedContext(999):
+        inner = np.asarray(next_key())
+    # state restored: the next key matches the pre-context stream
+    after = np.asarray(next_key())
+    np.testing.assert_array_equal(after, k_before)
+    assert not np.array_equal(inner, k_before)
+
+
+def test_rng_state_roundtrip():
+    set_seed(3)
+    state = get_rng_state()
+    a = np.asarray(next_key())
+    set_rng_state(state)
+    b = np.asarray(next_key())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_config_helpers():
+    cfg = get_config()
+    update_config(cfg.optimization, lr=0.5)
+    assert cfg.optimization.lr == 0.5
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        print_config(cfg)
+    text = buf.getvalue()
+    assert 'pde:' in text and 'n_grid: 70' in text
+    marm = get_marmousi_config()
+    assert 'Marmousi' in marm.data.seismic_data_dir
