@@ -252,7 +252,13 @@ class FWIForward:
         self.v_denorm_func = v_denorm_func
         self.s_norm_func = s_norm_func
         if backend == 'auto':
-            backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+            # Pick pallas only when computations actually land on a TPU:
+            # a pinned jax_default_device overrides the platform default.
+            dev = jax.config.jax_default_device
+            on_tpu = (getattr(dev, 'platform', None) == 'tpu'
+                      if dev is not None
+                      else jax.default_backend() == 'tpu')
+            backend = 'pallas' if on_tpu else 'xla'
         self.backend = backend
         self.chunk = chunk
         self.remat = remat
