@@ -50,8 +50,11 @@ class ILVR_FWI(DiffusionFWI):
         if ilvr_down_schedule == 'linear':
             self.down_n = np.linspace(16, 2, diffusion_ts).astype(int)
         elif ilvr_down_schedule == 'stepwise':
+            # Equal-length blocks; any remainder (including the whole
+            # schedule when diffusion_ts < 4) is padded with the finest
+            # factor, matching reference ilvr_fwi.py:97-101.
             ns = [32, 16, 8, 4]
-            down = np.repeat(ns, max(diffusion_ts // len(ns), 1))
+            down = np.repeat(ns, diffusion_ts // len(ns))
             if len(down) < diffusion_ts:
                 down = np.pad(down, (0, diffusion_ts - len(down)),
                               constant_values=ns[-1])

@@ -59,6 +59,8 @@ def main(argv=None):
     p.add_argument('--dim', type=int, default=64)
     p.add_argument('--amp', action='store_true', help='bf16 model forward')
     p.add_argument('--resume_milestone', type=int, default=None)
+    p.add_argument('--keep_last', type=int, default=0,
+                   help='if >0, keep only the newest K milestone ckpts')
     args = p.parse_args(argv)
 
     model = Unet(dim=args.dim, dim_mults=(1, 2, 4, 8), channels=1)
@@ -79,6 +81,7 @@ def main(argv=None):
         save_and_sample_every=args.save_every,
         results_folder=args.results_folder,
         amp=args.amp,
+        keep_last_checkpoints=args.keep_last,
     )
     if args.resume_milestone is not None:
         trainer.load(args.resume_milestone)

@@ -169,10 +169,27 @@ class InversionEngine:
             y = jax.device_put(y, batch_shot_sharding(mesh))
             mask = jax.device_put(mask, batch_shot_sharding(mesh))
 
+        # Stable operator identity: physics/backend contents for FWIForward
+        # (two operators with equal geometry legitimately share a program);
+        # the callable object itself otherwise — holding it in the key keeps
+        # it alive, so a recycled id() can never alias a stale program.
+        if hasattr(fwi_forward, 'geom'):
+            op_key = (fwi_forward.geom, fwi_forward.backend,
+                      fwi_forward.chunk, fwi_forward.remat,
+                      fwi_forward.normalize)
+        else:
+            op_key = fwi_forward
         cache_key = (reg_name, ts, float(lr), float(reg_lambda),
                      float(self.sigma_x0), use_scan, mu.shape, y.shape,
-                     id(fwi_forward))
-        if cache_key not in self._program_cache:
+                     op_key)
+        # Diffusion params are baked into the traced program as constants;
+        # invalidate the entry if they were swapped since compilation.
+        params_now = (getattr(self.diffusion_model, 'params', None)
+                      if is_diffusion else None)
+        entry = self._program_cache.get(cache_key)
+        if entry is not None and entry[3] is not params_now:
+            entry = None
+        if entry is None:
             schedule = optax.cosine_decay_schedule(lr, decay_steps=ts,
                                                    alpha=0.0)
             optimizer = optax.adam(schedule)
@@ -193,8 +210,9 @@ class InversionEngine:
                 return step(carry, k, y=y, mask=mask,
                             mu_true_norm=mu_true_norm)
 
-            self._program_cache[cache_key] = (optimizer, run_scan, run_step)
-        optimizer, run_scan, run_step = self._program_cache[cache_key]
+            self._program_cache[cache_key] = (optimizer, run_scan, run_step,
+                                              params_now)
+        optimizer, run_scan, run_step, _ = self._program_cache[cache_key]
         opt_state = optimizer.init(mu)
         step_keys = jax.random.split(key, ts)
 

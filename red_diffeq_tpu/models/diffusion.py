@@ -195,9 +195,12 @@ class GaussianDiffusion:
             params = jax.tree.map(
                 lambda p: p.astype(jnp.bfloat16)
                 if p.dtype == jnp.float32 else p, self.params)
+            # t stays fp32: bf16's 8-bit mantissa quantizes integer
+            # timesteps >512 to multiples of 4, conflating adjacent steps;
+            # the sinusoidal embedding computes in fp32 anyway.
             out = self.model.apply({'params': params},
                                    x.astype(jnp.bfloat16),
-                                   t.astype(jnp.bfloat16), x_self_cond)
+                                   t.astype(jnp.float32), x_self_cond)
             return out.astype(jnp.float32)
         return self.model.apply({'params': self.params}, x, t, x_self_cond)
 

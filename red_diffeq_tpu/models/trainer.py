@@ -79,7 +79,8 @@ class Trainer:
                  adam_betas=(0.9, 0.99), save_and_sample_every: int = 10000,
                  num_samples: int = 25, results_folder: str = './results',
                  amp: bool = False, max_grad_norm: float = 1.0,
-                 seed: int = 0, data_parallel: bool = True):
+                 seed: int = 0, data_parallel: bool = True,
+                 keep_last_checkpoints: int = 0):
         assert train_batch_size * gradient_accumulate_every >= 16, \
             'effective batch size should be at least 16'
         assert int(num_samples ** 0.5) ** 2 == num_samples, \
@@ -92,6 +93,7 @@ class Trainer:
         self.save_and_sample_every = save_and_sample_every
         self.num_samples = num_samples
         self.max_grad_norm = max_grad_norm
+        self.keep_last_checkpoints = keep_last_checkpoints
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.ema_cfg = EMAConfig(decay=ema_decay,
@@ -214,6 +216,11 @@ class Trainer:
             json.dump({'step': self.step, 'milestone': milestone,
                        'losses': self.training_losses,
                        'num_losses': len(self.training_losses)}, f, indent=2)
+        if self.keep_last_checkpoints > 0:
+            ckpts = sorted(self.results_folder.glob('model-*.ckpt'),
+                           key=lambda p: int(p.stem.split('-')[1]))
+            for old in ckpts[:-self.keep_last_checkpoints]:
+                old.unlink()
 
     def load(self, milestone):
         path = self.results_folder / f'model-{milestone}.ckpt'

@@ -258,6 +258,10 @@ class Unet(nn.Module):
         else:
             emb = SinusoidalPosEmb(self.dim,
                                    self.sinusoidal_pos_emb_theta)(time)
+        # sin/cos of the exact integer timestep is computed in fp32 (bf16
+        # would quantize t>512); below this point the embedding follows the
+        # activation dtype so a bf16 forward stays bf16 end-to-end.
+        emb = emb.astype(x.dtype)
         t = nn.Dense(time_dim, name='time_dense_0')(emb)
         t = nn.Dense(time_dim, name='time_dense_1')(
             nn.gelu(t, approximate=False))

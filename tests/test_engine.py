@@ -163,3 +163,57 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(mu_res), np.asarray(mu_full),
                                rtol=1e-5, atol=1e-6)
     assert len(pm_res[0]['mae']) == 12
+
+
+def test_program_cache_distinguishes_operators():
+    """Two operators with different physics must never share a compiled
+    program (round-1 cache keyed on id(fwi_forward) could alias after GC);
+    equal-geometry operators legitimately share one."""
+    op_a, v_true, y_a, mu0 = _mini_problem(nt=40)
+    engine = InversionEngine(regularization=None)
+    engine.optimize(mu0, v_true, y_a, op_a, ts=2, lr=0.05,
+                    key=jax.random.PRNGKey(0), progress=False)
+    assert len(engine._program_cache) == 1
+
+    # different dt -> different physics -> new cache entry
+    ctx_b = dict(n_grid=16, nt=40, dx=10.0, dt=0.0008, nbc=8, f=15.0,
+                 sz=10, gz=10, ng=16, ns=2)
+    op_b = FWIForward(ctx_b, normalize=True, v_denorm_func=v_denormalize,
+                      s_norm_func=lambda s: s, backend='xla', chunk=10)
+    engine.optimize(mu0, v_true, y_a, op_b, ts=2, lr=0.05,
+                    key=jax.random.PRNGKey(0), progress=False)
+    assert len(engine._program_cache) == 2
+
+    # same geometry rebuilt as a NEW object -> reuses the first entry
+    ctx_a = dict(n_grid=16, nt=40, dx=10.0, dt=0.001, nbc=8, f=15.0,
+                 sz=10, gz=10, ng=16, ns=2)
+    op_a2 = FWIForward(ctx_a, normalize=True, v_denorm_func=v_denormalize,
+                       s_norm_func=lambda s: s, backend='xla', chunk=10)
+    engine.optimize(mu0, v_true, y_a, op_a2, ts=2, lr=0.05,
+                    key=jax.random.PRNGKey(0), progress=False)
+    assert len(engine._program_cache) == 2
+
+
+def test_program_cache_invalidated_on_params_swap():
+    """Swapping diffusion params between optimize() calls must retrace —
+    the old program baked the previous params in as constants."""
+    from red_diffeq_tpu.models.diffusion import GaussianDiffusion
+    from red_diffeq_tpu.models.unet import Unet
+
+    op, v_true, y, mu0 = _mini_problem(n=16, nt=40)
+    model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    diffusion = GaussianDiffusion(model, image_size=18, timesteps=20,
+                                  objective='pred_noise')
+    diffusion.init_params(jax.random.PRNGKey(0))
+    engine = InversionEngine(diffusion_model=diffusion,
+                             regularization='diffusion')
+    mu_a, _ = engine.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
+                              reg_lambda=1.0, key=jax.random.PRNGKey(3),
+                              progress=False)
+
+    diffusion.init_params(jax.random.PRNGKey(42))  # swap weights
+    mu_b, _ = engine.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
+                              reg_lambda=1.0, key=jax.random.PRNGKey(3),
+                              progress=False)
+    # different prior weights -> different RED score -> different result
+    assert not np.allclose(np.asarray(mu_a), np.asarray(mu_b))

@@ -100,3 +100,16 @@ def test_config_helpers():
     assert 'pde:' in text and 'n_grid: 70' in text
     marm = get_marmousi_config()
     assert 'Marmousi' in marm.data.seismic_data_dir
+
+
+def test_bf16_distinguishes_adjacent_timesteps(tiny):
+    """bf16's 8-bit mantissa quantizes integers >512 to multiples of 4;
+    the timestep must therefore reach the sinusoidal embedding in fp32
+    even when the U-Net runs in bf16 (ADVICE r1). With a 10-step schedule
+    we still exercise the cast path: t=999 vs t=998 must not collapse."""
+    d16 = tiny.with_params(tiny.params)
+    d16.half_precision = True
+    x = jnp.ones((1, 1, 16, 16)) * 0.1
+    out_a = d16.apply_fn(x, jnp.array([999.0]))
+    out_b = d16.apply_fn(x, jnp.array([998.0]))
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
