@@ -176,7 +176,8 @@ class InversionEngine:
         if hasattr(fwi_forward, 'geom'):
             op_key = (fwi_forward.geom, fwi_forward.backend,
                       fwi_forward.chunk, fwi_forward.remat,
-                      fwi_forward.normalize)
+                      fwi_forward.normalize,
+                      getattr(fwi_forward, 'adjoint', None))
         else:
             op_key = fwi_forward
         cache_key = (reg_name, ts, float(lr), float(reg_lambda),

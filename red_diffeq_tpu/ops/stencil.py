@@ -348,7 +348,8 @@ def _rec_spec(chunk, ng):
                         memory_space=pltpu.VMEM)
 
 
-def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll):
+def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
+             interpret=False):
     b, ns, hp, wp = p0.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     ng = g1 - g0
@@ -379,11 +380,12 @@ def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll):
         ],
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
     )(p0, p1, alpha, t1, t2, inj, src_chunk)
 
 
 def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
-              unroll):
+              unroll, interpret=False):
     b, ns, hp, wp = p0.shape
     n_iter = chunk // unroll
     kern = partial(_tape_kernel, unroll=unroll, isz=geom.isz)
@@ -407,11 +409,12 @@ def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
             (b, chunk // unroll, unroll + 2, ns, hp, wp), p0.dtype),
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
     )(p0, p1, alpha, t1, t2, inj, src_chunk)
 
 
 def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
-             *, geom, chunk, unroll):
+             *, geom, chunk, unroll, interpret=False):
     b, ns, hp, wp = gp0o.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     ng = g1 - g0
@@ -453,11 +456,12 @@ def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
         ],
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
     )(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk)
 
 
 def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
-                     src_chunk, *, geom, chunk, unroll):
+                     src_chunk, *, geom, chunk, unroll, interpret=False):
     b, ns, hp, wp = p0o.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     n_iter = chunk // unroll
@@ -496,48 +500,74 @@ def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
         ],
         scratch_shapes=[pltpu.VMEM((4, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
     )(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj, src_chunk)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
-                 unroll):
+                 unroll, mode='reverse', interpret=False):
     """One chunk of FD time steps on TPU. Returns (p0', p1', recs) with
-    recs of shape (B, ns, chunk, ng)."""
+    recs of shape (B, ns, chunk, ng). ``mode`` picks the adjoint
+    implementation ('reverse' | 'tape'); ``interpret=True`` runs the
+    kernels in the Pallas interpreter (CPU CI)."""
     return _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk,
-                    geom=geom, chunk=chunk, unroll=unroll)
+                    geom=geom, chunk=chunk, unroll=unroll,
+                    interpret=interpret)
 
 
-# 'reverse' reconstructs past states by inverting the recursion (no tape,
-# no forward recompute); 'tape' re-runs the chunk and stores states.
+# Default adjoint: 'reverse' reconstructs past states by inverting the
+# damped recursion (no tape, no forward recompute); 'tape' re-runs the
+# chunk and stores states. pallas_chunk_fn guards 'reverse' by a host-side
+# bound on min(t2) and falls back to 'tape' when reconstruction would be
+# unstable (see _t2_lower_bound).
 ADJOINT_MODE = 'reverse'
+
+# Framework-wide velocity ceiling (utils/data_trans.py: v ∈ [1500, 4500]
+# m/s). kappa grows with the sample's vmin, so this bounds the sponge
+# damping — and therefore min(t2) — for any admissible velocity model.
+_V_CEILING = 4500.0
+# Below this t2 bound, inverting s_{m-2} = (... - s_m)/t2 amplifies fp32
+# error by >(1/0.8)^U ≈ 9x per 10-step unroll — switch to the tape.
+_T2_GUARD = 0.8
+
+
+def _t2_lower_bound(geom) -> float:
+    """Host-side lower bound on min(t2) = 1 - max(kappa)*dt for any
+    velocity model within the framework's [1500, 4500] m/s range
+    (sponge_profile: kappa = 3*vmin*ln(1e7)/(2a), ramp <= 1)."""
+    a = (geom.nbc - 1) * geom.dx
+    kappa_max = 3.0 * _V_CEILING * np.log(1.0e7) / (2.0 * a)
+    return float(1.0 - kappa_max * geom.dt)
 
 
 def _pallas_chunk_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
-                      unroll):
+                      unroll, mode, interpret):
     out = pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
-                       unroll)
+                       unroll, mode, interpret)
     p0o, p1o, _ = out
     return out, (p0, p1, p0o, p1o, alpha, t1, t2, inj, src_chunk)
 
 
-def _pallas_chunk_bwd(geom, chunk, unroll, res, cts):
+def _pallas_chunk_bwd(geom, chunk, unroll, mode, interpret, res, cts):
     p0, p1, p0o, p1o, alpha, t1, t2, inj, src_chunk = res
     gp0o, gp1o, grec = cts
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     wp = p0.shape[-1]
     grec_full = jnp.zeros((*grec.shape[:3], wp), grec.dtype)
     grec_full = grec_full.at[:, :, :, g0:g1].set(grec)
-    if ADJOINT_MODE == 'reverse':
+    if mode == 'reverse':
         gp0, gp1, galpha, gt1, gt2, ginj = _run_bwd_reverse(
             p0o, p1o, gp0o, gp1o, grec_full, alpha, t1, t2, inj,
-            src_chunk, geom=geom, chunk=chunk, unroll=unroll)
+            src_chunk, geom=geom, chunk=chunk, unroll=unroll,
+            interpret=interpret)
     else:
         tape = _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk,
-                         geom=geom, chunk=chunk, unroll=unroll)
+                         geom=geom, chunk=chunk, unroll=unroll,
+                         interpret=interpret)
         gp0, gp1, galpha, gt1, gt2, ginj = _run_bwd(
             tape, gp0o, gp1o, grec_full, alpha, t1, t2, src_chunk,
-            geom=geom, chunk=chunk, unroll=unroll)
+            geom=geom, chunk=chunk, unroll=unroll, interpret=interpret)
     # The source wavelet is a config constant; its cotangent is unused.
     gsrc = jnp.zeros_like(src_chunk)
     return gp0, gp1, galpha, gt1, gt2, ginj, gsrc
@@ -556,14 +586,24 @@ def build_injection_field(beta_pts, isx, wp):
     return inj[:, :, None, :]
 
 
-def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk):
+def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
+                    mode=None, interpret=False):
     """Adapter with the (carry, src_chunk) -> (carry, recs) signature the
     scan in solvers/acoustic.py:forward_modeling expects. ``recs`` comes
-    back as (chunk, B, ns, ng) to match the XLA path."""
+    back as (chunk, B, ns, ng) to match the XLA path.
+
+    ``mode=None`` selects ADJOINT_MODE, downgraded to 'tape' when the
+    host-side bound on min(t2) falls below the stability guard (strong
+    sponge / large dt would otherwise amplify fp32 error in the
+    reconstruction divide, ADVICE r1)."""
     if not geom.receivers_contiguous:
         raise NotImplementedError(
             'pallas backend requires a contiguous receiver line; '
             "use backend='xla' for scattered receivers")
+    if mode is None:
+        mode = ADJOINT_MODE
+        if mode == 'reverse' and _t2_lower_bound(geom) < _T2_GUARD:
+            mode = 'tape'
     wp = alpha.shape[-1]
     inj = build_injection_field(beta_pts, geom.isx, wp)
     unroll = pick_unroll(chunk)
@@ -571,7 +611,8 @@ def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk):
     def chunk_fn(carry, src_chunk):
         p0, p1 = carry
         p0o, p1o, recs = pallas_chunk(p0, p1, alpha, temp1, temp2, inj,
-                                      src_chunk, geom, chunk, unroll)
+                                      src_chunk, geom, chunk, unroll,
+                                      mode, interpret)
         return (p0o, p1o), jnp.transpose(recs, (2, 0, 1, 3))
 
     return chunk_fn

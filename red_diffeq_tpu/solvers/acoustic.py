@@ -181,7 +181,8 @@ def _xla_chunk(carry, src_chunk, *, coeffs, geom, isx_arr, igx_arr):
 
 
 def forward_modeling(v_pad: jax.Array, geom: Geometry, *, chunk: int = 20,
-                     remat: bool = True, backend: str = 'xla') -> jax.Array:
+                     remat: bool = True, backend: str = 'xla',
+                     adjoint: Optional[str] = None) -> jax.Array:
     """Propagate all shots through velocity ``v_pad`` (B, 1, Hp, Wp) in m/s.
 
     Returns the seismogram (B, ns, nt_rec, ng) with
@@ -210,11 +211,12 @@ def forward_modeling(v_pad: jax.Array, geom: Geometry, *, chunk: int = 20,
     src_padded = jnp.pad(src, (0, steps_padded - nt))
     src_chunks = src_padded.reshape(n_chunks, chunk)
 
-    if backend == 'pallas':
+    if backend in ('pallas', 'pallas_interpret'):
         from red_diffeq_tpu.ops.stencil import pallas_chunk_fn
         chunk_fn = pallas_chunk_fn(
             alpha=alpha, temp1=temp1, temp2=temp2, beta_pts=beta_pts,
-            geom=geom, chunk=chunk)
+            geom=geom, chunk=chunk, mode=adjoint,
+            interpret=(backend == 'pallas_interpret'))
         # The pallas chunk carries its own custom VJP that recomputes the
         # intra-chunk states; jax.checkpoint would be redundant.
     else:
@@ -246,7 +248,8 @@ class FWIForward:
                  sample_spatial: float = 1.0, normalize: bool = True,
                  v_denorm_func: Optional[Callable] = None,
                  s_norm_func: Optional[Callable] = None,
-                 backend: str = 'auto', chunk: int = 20, remat: bool = True):
+                 backend: str = 'auto', chunk: int = 20, remat: bool = True,
+                 adjoint: Optional[str] = None):
         self.geom = Geometry.from_ctx(dict(ctx), sample_temporal, sample_spatial)
         self.normalize = normalize
         self.v_denorm_func = v_denorm_func
@@ -262,6 +265,10 @@ class FWIForward:
         self.backend = backend
         self.chunk = chunk
         self.remat = remat
+        # Pallas adjoint implementation: None = auto ('reverse' unless the
+        # t2 stability guard downgrades to 'tape'), or explicit
+        # 'reverse' / 'tape' (ops/stencil.py:pallas_chunk_fn).
+        self.adjoint = adjoint
         self._call = jax.jit(self._forward)
 
     def _forward(self, v_norm: jax.Array) -> jax.Array:
@@ -270,7 +277,8 @@ class FWIForward:
         v_pad = jnp.pad(v, ((0, 0), (0, 0), (nbc, nbc), (nbc, nbc)),
                         mode='edge')
         s = forward_modeling(v_pad, self.geom, chunk=self.chunk,
-                             remat=self.remat, backend=self.backend)
+                             remat=self.remat, backend=self.backend,
+                             adjoint=self.adjoint)
         if self.normalize and self.s_norm_func is not None:
             s = self.s_norm_func(s)
         return s
