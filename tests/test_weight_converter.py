@@ -204,3 +204,203 @@ def test_full_tree_conversion_structure():
     out = model.apply({'params': params}, x, jnp.array([3.0]))
     assert out.shape == (1, ch, 16, 16)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_full_model_numeric_parity_vs_torch_oracle():
+    """Assemble a tiny lucidrains-layout torch U-Net in-test (ground
+    truth: reference models/diffusion.py:220-301), convert its state
+    dict, and assert full-forward numeric parity with the flax Unet.
+    Catches wiring bugs — skip order, qkv channel order, scale/shift
+    order — that per-layer transform tests cannot see (VERDICT r1 #5)."""
+    import math as _math
+    from functools import partial as _partial
+
+    import torch
+    import torch.nn.functional as F
+    from torch import nn as tnn
+
+    torch.manual_seed(0)
+    dim, mults, ch = 8, (1, 2), 1
+    heads, dim_head, mem = 4, 32, 4
+    time_dim = dim * 4
+
+    class TRMSNorm(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.g = tnn.Parameter(torch.randn(1, d, 1, 1))
+
+        def forward(self, x):
+            return F.normalize(x, dim=1) * self.g * x.shape[1] ** 0.5
+
+    class TBlock(tnn.Module):
+        def __init__(self, din, dout):
+            super().__init__()
+            self.proj = tnn.Conv2d(din, dout, 3, padding=1)
+            self.norm = tnn.GroupNorm(8, dout)
+
+        def forward(self, x, scale_shift=None):
+            x = self.norm(self.proj(x))
+            if scale_shift is not None:
+                s, sh = scale_shift
+                x = x * (s + 1) + sh
+            return F.silu(x)
+
+    class TResnet(tnn.Module):
+        def __init__(self, din, dout):
+            super().__init__()
+            self.mlp = tnn.Sequential(tnn.SiLU(), tnn.Linear(time_dim, dout * 2))
+            self.block1 = TBlock(din, dout)
+            self.block2 = TBlock(dout, dout)
+            self.res_conv = tnn.Conv2d(din, dout, 1) if din != dout \
+                else tnn.Identity()
+
+        def forward(self, x, t):
+            te = self.mlp(t)[:, :, None, None]
+            h = self.block1(x, scale_shift=te.chunk(2, dim=1))
+            h = self.block2(h)
+            return h + self.res_conv(x)
+
+    class TLinearAttn(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            hidden = heads * dim_head
+            self.norm = TRMSNorm(d)
+            self.mem_kv = tnn.Parameter(torch.randn(2, heads, dim_head, mem))
+            self.to_qkv = tnn.Conv2d(d, hidden * 3, 1, bias=False)
+            self.to_out = tnn.Sequential(tnn.Conv2d(hidden, d, 1), TRMSNorm(d))
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            xn = self.norm(x)
+            qkv = self.to_qkv(xn).chunk(3, dim=1)
+            q, k, v = [t.reshape(b, heads, dim_head, h * w) for t in qkv]
+            mk = self.mem_kv[0].expand(b, -1, -1, -1)
+            mv = self.mem_kv[1].expand(b, -1, -1, -1)
+            k = torch.cat([mk, k], dim=-1)
+            v = torch.cat([mv, v], dim=-1)
+            q = q.softmax(dim=-2) * dim_head ** -0.5
+            k = k.softmax(dim=-1)
+            context = torch.einsum('bhdn,bhen->bhde', k, v)
+            out = torch.einsum('bhde,bhdn->bhen', context, q)
+            out = out.reshape(b, heads * dim_head, h, w)
+            return self.to_out(out)
+
+    class TFullAttn(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            hidden = heads * dim_head
+            self.norm = TRMSNorm(d)
+            self.mem_kv = tnn.Parameter(torch.randn(2, heads, mem, dim_head))
+            self.to_qkv = tnn.Conv2d(d, hidden * 3, 1, bias=False)
+            self.to_out = tnn.Conv2d(hidden, d, 1)
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            xn = self.norm(x)
+            qkv = self.to_qkv(xn).chunk(3, dim=1)
+            q, k, v = [t.reshape(b, heads, dim_head, h * w).transpose(-2, -1)
+                       for t in qkv]
+            mk = self.mem_kv[0].expand(b, -1, -1, -1)
+            mv = self.mem_kv[1].expand(b, -1, -1, -1)
+            k = torch.cat([mk, k], dim=-2)
+            v = torch.cat([mv, v], dim=-2)
+            sim = torch.einsum('bhid,bhjd->bhij', q, k) * dim_head ** -0.5
+            out = torch.einsum('bhij,bhjd->bhid', sim.softmax(dim=-1), v)
+            out = out.transpose(-2, -1).reshape(b, heads * dim_head, h, w)
+            return self.to_out(out)
+
+    def t_downsample(din, dout):
+        class S2D(tnn.Module):
+            def forward(self, x):
+                b, c, h, w = x.shape
+                x = x.reshape(b, c, h // 2, 2, w // 2, 2)
+                x = x.permute(0, 1, 3, 5, 2, 4)
+                return x.reshape(b, c * 4, h // 2, w // 2)
+        return tnn.Sequential(S2D(), tnn.Conv2d(din * 4, dout, 1))
+
+    def t_upsample(din, dout):
+        return tnn.Sequential(tnn.Upsample(scale_factor=2, mode='nearest'),
+                              tnn.Conv2d(din, dout, 3, padding=1))
+
+    class TUnet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            dims = [dim] + [dim * m for m in mults]
+            in_out = list(zip(dims[:-1], dims[1:]))
+            self.init_conv = tnn.Conv2d(ch, dim, 7, padding=3)
+            self.time_mlp = tnn.Sequential(
+                tnn.Identity(),  # placeholder for sinu emb (applied manually)
+                tnn.Linear(dim, time_dim), tnn.GELU(),
+                tnn.Linear(time_dim, time_dim))
+            full = (False,) * (len(mults) - 1) + (True,)
+            self.downs = tnn.ModuleList()
+            for i, (di, do) in enumerate(in_out):
+                last = i == len(in_out) - 1
+                self.downs.append(tnn.ModuleList([
+                    TResnet(di, di), TResnet(di, di),
+                    TFullAttn(di) if full[i] else TLinearAttn(di),
+                    tnn.Conv2d(di, do, 3, padding=1) if last
+                    else t_downsample(di, do)]))
+            mid = dims[-1]
+            self.mid_block1 = TResnet(mid, mid)
+            self.mid_attn = TFullAttn(mid)
+            self.mid_block2 = TResnet(mid, mid)
+            self.ups = tnn.ModuleList()
+            for i, (di, do) in enumerate(reversed(in_out)):
+                last = i == len(in_out) - 1
+                self.ups.append(tnn.ModuleList([
+                    TResnet(do + di, do), TResnet(do + di, do),
+                    TFullAttn(do) if tuple(reversed(full))[i]
+                    else TLinearAttn(do),
+                    tnn.Conv2d(do, di, 3, padding=1) if last
+                    else t_upsample(do, di)]))
+            self.final_res_block = TResnet(dim * 2, dim)
+            self.final_conv = tnn.Conv2d(dim, ch, 1)
+
+        def forward(self, x, time):
+            x = self.init_conv(x)
+            r = x.clone()
+            half = dim // 2
+            emb = _math.log(10000) / (half - 1)
+            emb = torch.exp(torch.arange(half) * -emb)
+            emb = time[:, None] * emb[None, :]
+            emb = torch.cat([emb.sin(), emb.cos()], dim=-1)
+            t = self.time_mlp(emb)
+            h = []
+            for b1, b2, attn, down in self.downs:
+                x = b1(x, t); h.append(x)
+                x = b2(x, t)
+                x = attn(x) + x; h.append(x)
+                x = down(x)
+            x = self.mid_block1(x, t)
+            x = self.mid_attn(x) + x
+            x = self.mid_block2(x, t)
+            for b1, b2, attn, up in self.ups:
+                x = torch.cat([x, h.pop()], dim=1); x = b1(x, t)
+                x = torch.cat([x, h.pop()], dim=1); x = b2(x, t)
+                x = attn(x) + x
+                x = up(x)
+            x = torch.cat([x, r], dim=1)
+            return self.final_conv(self.final_res_block(x, t))
+
+    tmodel = TUnet().eval()
+    # randomize all params so parity is non-trivial
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.normal_(0.0, 0.5)
+
+    # map in-test module names to reference state-dict keys
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_state_dict(sd, dim, mults, ch)
+
+    x_t = torch.randn(2, ch, 16, 16)
+    t_t = torch.tensor([3.0, 777.0])
+    with torch.no_grad():
+        want = tmodel(x_t, t_t).numpy()
+
+    model = Unet(dim=dim, dim_mults=mults, channels=ch)
+    got = np.asarray(model.apply({'params': params},
+                                 jnp.asarray(x_t.numpy()),
+                                 jnp.asarray(t_t.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-4 * np.abs(want).max())
