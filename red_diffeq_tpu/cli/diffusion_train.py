@@ -61,6 +61,16 @@ def main(argv=None):
     p.add_argument('--resume_milestone', type=int, default=None)
     p.add_argument('--keep_last', type=int, default=0,
                    help='if >0, keep only the newest K milestone ckpts')
+    p.add_argument('--image_folder', type=Path, default=None,
+                   help='train on an image folder (jpg/png/tiff) instead '
+                        'of velocity .npy families (reference '
+                        'models/diffusion.py:556-573)')
+    p.add_argument('--augment_horizontal_flip', action='store_true')
+    p.add_argument('--calculate_fid', action='store_true',
+                   help='Fréchet distance on the EMA denoiser bottleneck '
+                        'features at each milestone (inception-free FID '
+                        'proxy; reference models/diffusion.py:603-607)')
+    p.add_argument('--num_fid_samples', type=int, default=64)
     args = p.parse_args(argv)
 
     model = Unet(dim=args.dim, dim_mults=(1, 2, 4, 8), channels=1)
@@ -68,9 +78,18 @@ def main(argv=None):
         model, image_size=args.image_size, timesteps=args.timesteps,
         sampling_timesteps=250, objective='pred_noise')
 
-    train_vel, val_vel = load_velocity_datasets(args.data_dir, args.families)
-    print(f'train samples: {len(train_vel)}, val: {len(val_vel)}')
-    dataset = TensorDataset(prepare_images(train_vel))
+    if args.image_folder is not None:
+        from red_diffeq_tpu.models.trainer import ImageFolderDataset
+        dataset = ImageFolderDataset(
+            args.image_folder, args.image_size,
+            augment_horizontal_flip=args.augment_horizontal_flip,
+            convert_image_to='L')  # the CLI denoiser is single-channel
+        print(f'image folder: {len(dataset)} files')
+    else:
+        train_vel, val_vel = load_velocity_datasets(args.data_dir,
+                                                    args.families)
+        print(f'train samples: {len(train_vel)}, val: {len(val_vel)}')
+        dataset = TensorDataset(prepare_images(train_vel))
 
     trainer = Trainer(
         diffusion, dataset,
@@ -82,6 +101,8 @@ def main(argv=None):
         results_folder=args.results_folder,
         amp=args.amp,
         keep_last_checkpoints=args.keep_last,
+        calculate_fid=args.calculate_fid,
+        num_fid_samples=args.num_fid_samples,
     )
     if args.resume_milestone is not None:
         trainer.load(args.resume_milestone)

@@ -121,15 +121,19 @@ def run_experiment(config: ml_collections.ConfigDict,
     save_config(config, results_dir / 'config.yaml')
     print(f'Results will be saved to: {results_dir}')
 
+    from red_diffeq_tpu.io.native_loader import NpyBatchLoader
+
     for family_name in get_data_files(config):
         print(f'\nProcessing: {family_name}')
         family_dir = results_dir / Path(family_name).stem
         family_dir.mkdir(exist_ok=True)
-        seis_mmap = np.load(Path(config.data.seismic_data_dir) / family_name,
-                            mmap_mode='r' if config.data.use_mmap else None)
-        vel_mmap = np.load(Path(config.data.velocity_data_dir) / family_name,
-                           mmap_mode='r' if config.data.use_mmap else None)
-        num_models = seis_mmap.shape[0]
+        # Same native mmap loaders + next-batch prefetch as run_inversion
+        # (the raw np.load path paid the page-fault stall per batch).
+        seis_loader = NpyBatchLoader(
+            Path(config.data.seismic_data_dir) / family_name)
+        vel_loader = NpyBatchLoader(
+            Path(config.data.velocity_data_dir) / family_name)
+        num_models = len(seis_loader)
 
         sample_index = config.data.get('sample_index', None)
         if sample_index is not None:
@@ -139,16 +143,21 @@ def run_experiment(config: ml_collections.ConfigDict,
             batches = [(s, min(s + bs, num_models))
                        for s in range(0, num_models, bs)]
 
-        for batch_start, batch_end in batches:
+        for i, (batch_start, batch_end) in enumerate(batches):
+            if i + 1 < len(batches):
+                nxt_start, nxt_end = batches[i + 1]
+                seis_loader.prefetch(nxt_start, nxt_end - nxt_start)
+                vel_loader.prefetch(nxt_start, nxt_end - nxt_start)
             key, sub = jax.random.split(key)
-            seis_batch = np.array(seis_mmap[batch_start:batch_end],
-                                  dtype=np.float32)
-            vel_batch = np.array(vel_mmap[batch_start:batch_end],
-                                 dtype=np.float32)
+            seis_batch = seis_loader[batch_start:batch_end].astype(
+                np.float32)
+            vel_batch = vel_loader[batch_start:batch_end].astype(np.float32)
             mu, per_model, mu0 = process_batch(
                 seis_batch, vel_batch, config, bench, fwi_forward, sub)
             save_batch_results(batch_start, mu, per_model, mu0, vel_batch,
                                family_dir)
+        seis_loader.close()
+        vel_loader.close()
 
     print(f'\nExperiment complete! Results saved to: {results_dir}')
     return results_dir
@@ -192,6 +201,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--batch_size', type=int)
     p.add_argument('--experiment_name', type=str)
     p.add_argument('--random_seed', type=int)
+    p.add_argument('--results_dir', type=str,
+                   help='output root (reference run_bench.py:364)')
     return p
 
 
@@ -214,6 +225,8 @@ def apply_overrides(config, args):
         config.experiment.name = args.experiment_name
     if args.random_seed is not None:
         config.experiment.random_seed = args.random_seed
+    if args.results_dir is not None:
+        config.experiment.results_dir = args.results_dir
     return config
 
 

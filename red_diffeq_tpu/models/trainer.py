@@ -45,6 +45,22 @@ class EMAConfig:
     power: float = 2.0 / 3.0
 
 
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """Fréchet distance between Gaussian fits of two feature sets
+    (N, D): |mu_a - mu_b|^2 + tr(S_a + S_b - 2 (S_a S_b)^{1/2})."""
+    import scipy.linalg
+
+    mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
+    s_a = np.cov(feats_a, rowvar=False)
+    s_b = np.cov(feats_b, rowvar=False)
+    covmean = scipy.linalg.sqrtm(s_a @ s_b)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    diff = mu_a - mu_b
+    return float(diff @ diff + np.trace(s_a) + np.trace(s_b)
+                 - 2.0 * np.trace(covmean))
+
+
 def _ema_decay_at(step, cfg: EMAConfig):
     """Warmup schedule 1 - (1 + t/inv_gamma)^-power, clamped to [0, decay]
     (ema-pytorch's default ramp)."""
@@ -68,6 +84,59 @@ class TensorDataset:
         return self.data[idx]
 
 
+class ImageFolderDataset:
+    """Image-folder dataset (capability parity with the reference
+    ``Dataset``, models/diffusion.py:556-573): recursive glob over image
+    extensions, resize so the short side equals ``image_size``, center
+    crop, optional horizontal-flip augmentation, values in [0, 1] with
+    shape (C, H, W). Decoding happens lazily per sampled batch."""
+
+    def __init__(self, folder, image_size: int,
+                 exts=('jpg', 'jpeg', 'png', 'tiff'),
+                 augment_horizontal_flip: bool = False,
+                 convert_image_to: str = None):
+        self.folder = Path(folder)
+        self.image_size = int(image_size)
+        self.augment_horizontal_flip = augment_horizontal_flip
+        self.convert_image_to = convert_image_to
+        self.paths = sorted(p for ext in exts
+                            for p in self.folder.glob(f'**/*.{ext}'))
+        if not self.paths:
+            raise FileNotFoundError(
+                f'no images with extensions {exts} under {self.folder}')
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _load(self, path):
+        from PIL import Image
+        img = Image.open(path)
+        if self.convert_image_to:
+            img = img.convert(self.convert_image_to)
+        s = self.image_size
+        w, h = img.size
+        scale = s / min(w, h)
+        img = img.resize((max(s, round(w * scale)),
+                          max(s, round(h * scale))), Image.BILINEAR)
+        w, h = img.size
+        left, top = (w - s) // 2, (h - s) // 2
+        img = img.crop((left, top, left + s, top + s))
+        arr = np.asarray(img, np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[None]                       # (1, H, W)
+        else:
+            arr = arr.transpose(2, 0, 1)          # (C, H, W)
+        return arr
+
+    def sample_batch(self, rng: np.random.RandomState, batch_size: int):
+        idx = rng.randint(0, len(self.paths), size=batch_size)
+        batch = np.stack([self._load(self.paths[i]) for i in idx])
+        if self.augment_horizontal_flip:
+            flip = rng.rand(batch_size) < 0.5
+            batch[flip] = batch[flip, :, :, ::-1]
+        return batch
+
+
 class Trainer:
     """Train a GaussianDiffusion denoiser (reference models/diffusion.py:574)."""
 
@@ -80,7 +149,8 @@ class Trainer:
                  num_samples: int = 25, results_folder: str = './results',
                  amp: bool = False, max_grad_norm: float = 1.0,
                  seed: int = 0, data_parallel: bool = True,
-                 keep_last_checkpoints: int = 0):
+                 keep_last_checkpoints: int = 0,
+                 calculate_fid: bool = False, num_fid_samples: int = 64):
         assert train_batch_size * gradient_accumulate_every >= 16, \
             'effective batch size should be at least 16'
         assert int(num_samples ** 0.5) ** 2 == num_samples, \
@@ -99,6 +169,14 @@ class Trainer:
         self.ema_cfg = EMAConfig(decay=ema_decay,
                                  update_every=ema_update_every)
         self.amp = amp
+        # Sample-quality metric (reference models/diffusion.py:603-607
+        # gates an optional torchvision-inception FID). TPU-native proxy:
+        # Fréchet distance on the EMA denoiser's own bottleneck features
+        # (inception-free; comparable across milestones of one run, NOT
+        # across different priors).
+        self.calculate_fid = calculate_fid
+        self.num_fid_samples = num_fid_samples
+        self.fid_scores = []
         self.step = 0
         self.training_losses = []
         self._np_rng = np.random.RandomState(seed)
@@ -285,10 +363,48 @@ class Trainer:
                 self._sample_and_save(milestone)
         print('training complete')
 
+    def _bottleneck_features(self, params, images) -> np.ndarray:
+        """(N, C, H, W) in [0, 1] -> (N, D) spatially-pooled activations of
+        the U-Net's deepest block, used as the FID feature space."""
+        model = self.diffusion.model
+        x = self.diffusion.normalize(jnp.asarray(images, jnp.float32))
+        t = jnp.zeros((x.shape[0],), jnp.float32)
+        _, state = model.apply(
+            {'params': params}, x, t,
+            capture_intermediates=lambda mdl, _: mdl.name == 'mid_block2',
+            mutable=['intermediates'])
+        feats = state['intermediates']['mid_block2']['__call__'][0]
+        return np.asarray(feats.mean(axis=(1, 2)))     # NHWC -> pool H,W
+
+    def _fid_score(self, milestone) -> float:
+        """Fréchet distance between generated and real samples in the EMA
+        denoiser's bottleneck feature space (inception-free FID proxy)."""
+        n = self.num_fid_samples
+        ema = self.diffusion.with_params(self.ema_params)
+        gen, done = [], 0
+        while done < n:
+            self._key, sub = jax.random.split(self._key)
+            k = min(self.batch_size, n - done)
+            gen.append(np.asarray(ema.sample(batch_size=k, key=sub)))
+            done += k
+        gen = np.concatenate(gen)
+        real = self.dataset.sample_batch(self._np_rng, n)
+        f_gen = self._bottleneck_features(self.ema_params, gen)
+        f_real = self._bottleneck_features(self.ema_params, real)
+        score = frechet_distance(f_gen, f_real)
+        self.fid_scores.append({'step': self.step, 'milestone': milestone,
+                                'fid_unet': score})
+        with open(self.results_folder / 'fid_scores.json', 'w') as f:
+            json.dump(self.fid_scores, f, indent=2)
+        return score
+
     def _sample_and_save(self, milestone):
         ema_diffusion = self.diffusion.with_params(self.ema_params)
         self._key, sub = jax.random.split(self._key)
         samples = ema_diffusion.sample(batch_size=self.num_samples, key=sub)
         np.save(self.results_folder / f'sample-{milestone}.npy',
                 np.asarray(samples))
+        if self.calculate_fid:
+            score = self._fid_score(milestone)
+            print(f'milestone {milestone}: fid_unet {score:.4f}', flush=True)
         self.save(milestone)

@@ -99,6 +99,7 @@ def test_bench_cli_overrides():
         '--ilvr_weight', '0.2', '--use_patches', 'true',
         '--patch_height', '70', '--patch_width', '70',
         '--patch_stride_h', '1', '--patch_stride_w', '60',
+        '--results_dir', '/tmp/bench_out',
     ])
     cfg = apply_overrides(get_config(), args)
     assert cfg.optimization.diffusion_ts == 7
@@ -108,3 +109,4 @@ def test_bench_cli_overrides():
     assert cfg.optimization.ilvr_weight == 0.2
     assert cfg.optimization.patch_kernel_size == [70, 70]
     assert cfg.optimization.patch_stride == [1, 60]
+    assert cfg.experiment.results_dir == '/tmp/bench_out'

@@ -126,3 +126,61 @@ def test_red_engine_reg_override(tiny_diffusion):
                                    reg_lambda=0.5,
                                    key=jax.random.PRNGKey(0), progress=False)
     assert all(r > 0 for r in per_model[0]['reg_losses'])
+
+
+def test_image_folder_dataset(tmp_path):
+    """Reference models/diffusion.py:556-573 parity: recursive glob,
+    resize + center crop to image_size, [0,1] range, (C,H,W) layout."""
+    from PIL import Image
+
+    from red_diffeq_tpu.models.trainer import ImageFolderDataset
+
+    sub = tmp_path / 'a' / 'b'
+    sub.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i, (w, h) in enumerate([(20, 30), (16, 16), (40, 18)]):
+        arr = rng.randint(0, 255, size=(h, w), dtype=np.uint8)
+        Image.fromarray(arr, mode='L').save(sub / f'img{i}.png')
+    Image.fromarray(rng.randint(0, 255, (24, 24, 3), dtype=np.uint8),
+                    mode='RGB').save(tmp_path / 'rgb.jpg')
+
+    ds = ImageFolderDataset(tmp_path, image_size=16, convert_image_to='L')
+    assert len(ds) == 4
+    batch = ds.sample_batch(np.random.RandomState(1), 6)
+    assert batch.shape == (6, 1, 16, 16)
+    assert batch.min() >= 0.0 and batch.max() <= 1.0
+
+    flip = ImageFolderDataset(tmp_path, image_size=16, convert_image_to='L',
+                              augment_horizontal_flip=True)
+    b2 = flip.sample_batch(np.random.RandomState(1), 6)
+    assert b2.shape == (6, 1, 16, 16)
+
+    with pytest.raises(FileNotFoundError):
+        ImageFolderDataset(tmp_path / 'empty', image_size=16)
+
+
+def test_frechet_distance_and_trainer_fid(tmp_path):
+    """fid_unet: 0 for identical sets, grows with distribution shift;
+    the trainer writes fid_scores.json at each milestone."""
+    from red_diffeq_tpu.models.trainer import (
+        TensorDataset, Trainer, frechet_distance,
+    )
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(200, 8).astype(np.float64)
+    assert frechet_distance(a, a.copy()) == pytest.approx(0.0, abs=1e-6)
+    b = a + 3.0
+    assert frechet_distance(a, b) > 5.0
+
+    model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    diff = GaussianDiffusion(model, image_size=16, timesteps=10,
+                             sampling_timesteps=4, objective='pred_noise')
+    data = rng.rand(32, 1, 16, 16).astype(np.float32)
+    tr = Trainer(diff, TensorDataset(data), train_batch_size=16,
+                 train_num_steps=4, save_and_sample_every=4, num_samples=4,
+                 results_folder=str(tmp_path), data_parallel=False,
+                 calculate_fid=True, num_fid_samples=8)
+    tr.train(log_every=1000)
+    scores = json.loads((tmp_path / 'fid_scores.json').read_text())
+    assert len(scores) == 1
+    assert np.isfinite(scores[0]['fid_unet'])
