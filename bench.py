@@ -50,12 +50,20 @@ def main():
         from red_diffeq_tpu.io.checkpoints import load_diffusion_params
         load_diffusion_params(diffusion, str(ckpt))
 
-    # Synthetic OpenFWI-style truths (held-out seed); observations from
-    # the forward operator itself (no dataset ships with the reference).
+    # Synthetic OpenFWI-style truths (held-out seed). Observations come
+    # from a dt/2 + dx/2 refined solver at the same physical acquisition
+    # — NOT from the inversion operator itself — so the reported SSIM
+    # carries an honest forward-model mismatch (no inverse crime).
     from red_diffeq_tpu.io.synthetic import generate_mixed_dataset
+    from red_diffeq_tpu.solvers.acoustic import refined_ctx, \
+        upsample_velocity
     v_true = generate_mixed_dataset(BATCH, seed=8888)
     v_true_j = jnp.asarray(v_true)
-    y = op(v_normalize(v_true_j))
+    op_obs = FWIForward(refined_ctx(ctx, factor=2), sample_temporal=2,
+                        normalize=True, v_denorm_func=v_denormalize,
+                        s_norm_func=s_normalize_none, backend='xla',
+                        chunk=20)
+    y = op_obs(v_normalize(jnp.asarray(upsample_velocity(v_true, 2))))
 
     init = np.concatenate([
         prepare_initial_model(v_true[b:b + 1], 'smoothed', sigma=10.0)
@@ -88,6 +96,7 @@ def main():
         'ts': TS,
         'backend': backend,
         'final_ssim_synthetic': round(final_ssim, 4),
+        'obs': 'refined_dt/2_dx/2',
     }
     print(json.dumps(result))
 

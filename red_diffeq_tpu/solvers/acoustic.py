@@ -93,6 +93,11 @@ class Geometry:
     igx: Tuple[int, ...]   # receiver columns
     igz: int               # receiver row
     sample_temporal: int = 1
+    # Wavelet multiplier. The update injects (v*dt)^2 * src into ONE cell
+    # with no 1/dx^2 delta-density factor (reference pde.py:80-81), so a
+    # refined grid must scale the source by factor^2 to represent the
+    # same physical point source (see refined_ctx).
+    src_scale: float = 1.0
 
     @property
     def ns(self) -> int:
@@ -132,7 +137,46 @@ class Geometry:
             f=float(ctx['f']), isx=tuple(int(i) for i in isx), isz=isz,
             igx=tuple(int(i) for i in igx), igz=igz,
             sample_temporal=sample_temporal,
+            src_scale=float(ctx.get('src_scale', 1.0)),
         )
+
+
+def upsample_velocity(v, factor: int = 2):
+    """Nearest-neighbor refinement of a velocity model: the same physical
+    medium sampled on a ``factor``-finer spatial grid (for observation
+    generation that avoids the inverse crime — see :func:`refined_ctx`)."""
+    return np.repeat(np.repeat(np.asarray(v), factor, axis=-2),
+                     factor, axis=-1)
+
+
+def refined_ctx(ctx: dict, factor: int = 2) -> dict:
+    """Observation-generation config on a ``factor``-refined space/time
+    grid: dx/factor, dt/factor (CFL), nt*factor, nbc*factor (same
+    physical sponge width), with sources/receivers pinned to the SAME
+    physical coordinates as the coarse grid. Pair with
+    ``FWIForward(refined_ctx(ctx), sample_temporal=factor)`` and
+    :func:`upsample_velocity` so synthetic observations come from a
+    different discretization than the inversion operator — the committed
+    inverse crime otherwise makes quality numbers an upper bound
+    (reference discretization contract: red_diffeq/solvers/pde.py:61-86).
+    """
+    n = int(ctx['n_grid'])
+    fine = dict(ctx)
+    fine['n_grid'] = n * factor
+    fine['dx'] = float(ctx['dx']) / factor
+    fine['dt'] = float(ctx['dt']) / factor
+    fine['nt'] = int(ctx['nt']) * factor
+    fine['nbc'] = int(ctx['nbc']) * factor
+    # Same physical acquisition: coarse default positions, re-expressed in
+    # fine grid units (Geometry.from_ctx multiplies sx/gx by dx).
+    sx_m = np.linspace(0, n - 1, num=int(ctx['ns'])) * float(ctx['dx'])
+    gx_m = np.linspace(0, n - 1, num=int(ctx['ng'])) * float(ctx['dx'])
+    fine['sx'] = sx_m / fine['dx']
+    fine['gx'] = gx_m / fine['dx']
+    # Keep the physical point-source strength: injection has no 1/dx^2
+    # delta-density factor, so the finer cell needs factor^2 compensation.
+    fine['src_scale'] = float(ctx.get('src_scale', 1.0)) * factor ** 2
+    return fine
 
 
 def _laplacian4(p: jax.Array) -> jax.Array:
@@ -193,7 +237,7 @@ def forward_modeling(v_pad: jax.Array, geom: Geometry, *, chunk: int = 20,
     dt, dx, nt = geom.dt, geom.dx, geom.nt
     dtype = v_pad.dtype
 
-    src = jnp.asarray(ricker(geom.f, dt, nt), dtype=dtype)
+    src = jnp.asarray(ricker(geom.f, dt, nt) * geom.src_scale, dtype=dtype)
     alpha = (v_pad * (dt / dx)) ** 2                            # (B,1,Hp,Wp)
     kappa = sponge_profile(v_pad, geom.nbc, dx) * dt
     temp1 = 2.0 + 2.0 * C1 * alpha - kappa

@@ -196,3 +196,39 @@ def test_custom_source_receiver_positions():
     assert out.shape == (1, 2, 30, 4)
     np.testing.assert_allclose(out, ref, rtol=2e-4,
                                atol=2e-6 * max(np.abs(ref).max(), 1e-30))
+
+
+def test_refined_observation_operator():
+    """refined_ctx/upsample_velocity: same physical experiment on a
+    dt/2 + dx/2 grid must produce observations with the SAME shape that
+    are close to — but measurably different from — the coarse solver's
+    (the forward-model mismatch used to avoid the inverse crime)."""
+    from red_diffeq_tpu.solvers.acoustic import refined_ctx, \
+        upsample_velocity
+
+    n, nt, nbc, ns = 16, 80, 12, 2
+    ctx = dict(n_grid=n, nt=nt, dx=10.0, dt=0.001, nbc=nbc, f=15.0,
+               sz=10, gz=10, ng=n, ns=ns)
+    fine = refined_ctx(ctx, factor=2)
+    assert fine['n_grid'] == 2 * n and fine['nt'] == 2 * nt
+    assert fine['dx'] == 5.0 and fine['dt'] == 0.0005
+    assert fine['nbc'] == 2 * nbc
+    # physical source/receiver positions preserved
+    np.testing.assert_allclose(np.asarray(fine['sx']) * fine['dx'],
+                               np.linspace(0, n - 1, ns) * ctx['dx'])
+
+    op = FWIForward(ctx, normalize=True, v_denorm_func=v_denormalize,
+                    s_norm_func=lambda s: s, backend='xla', chunk=10)
+    op_fine = FWIForward(fine, sample_temporal=2, normalize=True,
+                         v_denorm_func=v_denormalize,
+                         s_norm_func=lambda s: s, backend='xla', chunk=10)
+
+    v = np.full((1, 1, n, n), 2000.0, np.float32)
+    v[:, :, n // 2:, :] = 3000.0
+    y = np.asarray(op(v_normalize(jnp.asarray(v))))
+    y_fine = np.asarray(op_fine(v_normalize(
+        jnp.asarray(upsample_velocity(v, 2)))))
+    assert y_fine.shape == y.shape
+
+    rel = np.linalg.norm(y_fine - y) / np.linalg.norm(y)
+    assert 1e-4 < rel < 0.5, rel  # same physics, different discretization
