@@ -26,5 +26,12 @@ pretrain:
 quality:
 	python tools/eval_quality.py --n 4 --ts 300 --out QUALITY.md
 
+quality-marmousi:
+	python tools/eval_quality.py --n 2 --ts 300 --width 190 --sigma 20 \
+	  --out QUALITY_marmousi.md
+
+scaling:
+	python tools/scaling_bench.py --bf16 --out docs/scaling.md
+
 compare:
 	python tools/compare_methods.py --n 4 --out BENCHMARKS.md

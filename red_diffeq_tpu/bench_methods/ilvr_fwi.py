@@ -24,6 +24,27 @@ from red_diffeq_tpu.bench_methods.diffusion_fwi import DiffusionFWI
 from red_diffeq_tpu.bench_methods.resizer import Resizer
 
 
+def ilvr_down_schedule(name: str, diffusion_ts: int) -> np.ndarray:
+    """Down-factor schedule over the reverse chain (reference
+    ilvr_fwi.py:92-103): 'linear' sweeps 16 -> 2; 'stepwise' uses equal
+    [32, 16, 8, 4] blocks with any remainder (including the whole
+    schedule when diffusion_ts < 4) padded by the finest factor."""
+    if name == 'linear':
+        return np.linspace(16, 2, diffusion_ts).astype(int)
+    if name == 'stepwise':
+        ns = [32, 16, 8, 4]
+        down = np.repeat(ns, diffusion_ts // len(ns))
+        if len(down) < diffusion_ts:
+            down = np.pad(down, (0, diffusion_ts - len(down)),
+                          constant_values=ns[-1])
+        return down[:diffusion_ts]
+    raise ValueError(f'Unknown ilvr_down_schedule: {name}')
+
+
+# optimize()'s keyword of the same name shadows the function in its scope
+ilvr_down_schedule_fn = ilvr_down_schedule
+
+
 class ILVR_FWI(DiffusionFWI):
     """Reference diffusion_bench/ilvr_fwi.py:41 equivalent."""
 
@@ -46,22 +67,8 @@ class ILVR_FWI(DiffusionFWI):
                  patch_stride=None, key=None, progress: bool = True):
         self.use_ilvr = use_ilvr
         self.ilvr_weight = ilvr_weight
-        # Down-factor schedule (reference ilvr_fwi.py:92-103).
-        if ilvr_down_schedule == 'linear':
-            self.down_n = np.linspace(16, 2, diffusion_ts).astype(int)
-        elif ilvr_down_schedule == 'stepwise':
-            # Equal-length blocks; any remainder (including the whole
-            # schedule when diffusion_ts < 4) is padded with the finest
-            # factor, matching reference ilvr_fwi.py:97-101.
-            ns = [32, 16, 8, 4]
-            down = np.repeat(ns, diffusion_ts // len(ns))
-            if len(down) < diffusion_ts:
-                down = np.pad(down, (0, diffusion_ts - len(down)),
-                              constant_values=ns[-1])
-            self.down_n = down[:diffusion_ts]
-        else:
-            raise ValueError(
-                f'Unknown ilvr_down_schedule: {ilvr_down_schedule}')
+        self.down_n = ilvr_down_schedule_fn(ilvr_down_schedule,
+                                            diffusion_ts)
 
         return super().optimize(
             mu, mu_true, y, fwi_forward, ts=ts, diffusion_ts=diffusion_ts,

@@ -178,3 +178,20 @@ def test_diffusionfwi_patched(tiny_setup):
         key=jax.random.PRNGKey(3), progress=False)
     assert mu.shape == (1, 1, n, w)
     assert np.all(np.isfinite(np.asarray(per_model[0]['mae'])))
+
+
+def test_ilvr_down_schedule():
+    """Reference ilvr_fwi.py:92-103 semantics, incl. the tiny-diffusion_ts
+    padding case (ADVICE r1)."""
+    from red_diffeq_tpu.bench_methods.ilvr_fwi import ilvr_down_schedule
+
+    lin = ilvr_down_schedule('linear', 5)
+    assert list(lin) == [16, 12, 9, 5, 2]
+    assert list(ilvr_down_schedule('stepwise', 8)) == [32, 32, 16, 16,
+                                                       8, 8, 4, 4]
+    assert list(ilvr_down_schedule('stepwise', 10)) == [32, 32, 16, 16,
+                                                        8, 8, 4, 4, 4, 4]
+    # diffusion_ts < len(blocks): pad entirely with the finest factor
+    assert list(ilvr_down_schedule('stepwise', 3)) == [4, 4, 4]
+    with pytest.raises(ValueError):
+        ilvr_down_schedule('nope', 5)

@@ -25,6 +25,12 @@ def main(argv=None):
                    default=Path('pretrained_models/model-synthetic-ema.ckpt'))
     p.add_argument('--n', type=int, default=4)
     p.add_argument('--ts', type=int, default=300)
+    p.add_argument('--width', type=int, default=70,
+                   help='model width; >72 exercises the patched RED path '
+                        '(Marmousi-style, reference configs use 190)')
+    p.add_argument('--sigma', type=float, default=10.0,
+                   help='initial-model smoothing (reference: 10 OpenFWI, '
+                        '20 Marmousi)')
     p.add_argument('--noise_std', type=float, default=0.0)
     p.add_argument('--missing_number', type=int, default=0)
     p.add_argument('--obs', choices=['both', 'clean', 'refined'],
@@ -48,8 +54,8 @@ def main(argv=None):
         prepare_initial_model, s_normalize_none, v_denormalize, v_normalize,
     )
 
-    ctx = dict(n_grid=70, nt=1000, dx=10.0, dt=0.001, nbc=120, f=15.0,
-               sz=10, gz=10, ng=70, ns=5)
+    ctx = dict(n_grid=args.width, nt=1000, dx=10.0, dt=0.001, nbc=120,
+               f=15.0, sz=10, gz=10, ng=args.width, ns=5)
     backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
     op = FWIForward(ctx, normalize=True, v_denorm_func=v_denormalize,
                     s_norm_func=s_normalize_none, backend=backend, chunk=20)
@@ -60,7 +66,7 @@ def main(argv=None):
     load_diffusion_params(diffusion, str(args.ckpt))
 
     # Held-out: generator seed far from the pretraining seed (42..145).
-    v_true = generate_mixed_dataset(args.n, seed=7777)
+    v_true = generate_mixed_dataset(args.n, h=70, w=args.width, seed=7777)
     v_true_j = jnp.asarray(v_true)
 
     observations = {}
@@ -77,7 +83,7 @@ def main(argv=None):
         observations['refined'] = op_obs(v_normalize(v_fine))
 
     init = np.concatenate([
-        prepare_initial_model(v_true[b:b + 1], 'smoothed', sigma=10.0)
+        prepare_initial_model(v_true[b:b + 1], 'smoothed', sigma=args.sigma)
         for b in range(args.n)])
     mu0 = jnp.pad(jnp.asarray(init), ((0, 0), (0, 0), (1, 1), (1, 1)))
 
@@ -115,7 +121,8 @@ def main(argv=None):
     if args.out:
         lines = ['# Quality evaluation (synthetic held-out OpenFWI-style)',
                  '',
-                 f'n={args.n} samples, ts={args.ts}, nt=1000, ns=5, '
+                 f'n={args.n} samples (70x{args.width}), ts={args.ts}, '
+                 f'nt=1000, ns=5, sigma_init={args.sigma}, '
                  f'seed 8888, backend={backend}, '
                  f'noise_std={args.noise_std}, '
                  f'missing={args.missing_number}', '',
