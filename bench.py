@@ -23,6 +23,8 @@ TS = 300
 
 
 def main():
+    from red_diffeq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from red_diffeq_tpu.core.inversion import InversionEngine
     from red_diffeq_tpu.models.diffusion import GaussianDiffusion
     from red_diffeq_tpu.models.unet import Unet

@@ -73,6 +73,9 @@ def main(argv=None):
     p.add_argument('--num_fid_samples', type=int, default=64)
     args = p.parse_args(argv)
 
+    from red_diffeq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     model = Unet(dim=args.dim, dim_mults=(1, 2, 4, 8), channels=1)
     diffusion = GaussianDiffusion(
         model, image_size=args.image_size, timesteps=args.timesteps,

@@ -338,6 +338,8 @@ def apply_overrides(config: ml_collections.ConfigDict,
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from red_diffeq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.config:
         print(f'Loading configuration from: {args.config}')
         config = load_config(args.config)

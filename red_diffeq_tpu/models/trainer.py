@@ -320,18 +320,28 @@ class Trainer:
 
     # -- loop ------------------------------------------------------------
 
-    def _next_batches(self):
-        """(grad_accum, B, C, H, W) micro-batch stack, device-sharded."""
-        mbs = np.stack([
+    def _next_batches_np(self) -> np.ndarray:
+        """(grad_accum, B, C, H, W) micro-batch stack on the host."""
+        return np.stack([
             self.dataset.sample_batch(self._np_rng, self.batch_size)
             for _ in range(self.grad_accum)])
-        batches = jnp.asarray(mbs)
+
+    def _put(self, stack_np: np.ndarray, scan_axis: bool):
+        """ONE host->device transfer for a whole multi-step batch stack.
+        Per-micro-batch transfers would pay the device-dispatch round
+        trip k x grad_accum times per call — on remote-tunneled devices
+        (~50 ms each) that used to dominate the step time."""
         if self._sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            batches = jax.device_put(
-                batches, NamedSharding(self._sharding.mesh,
-                                       P(None, 'data')))
-        return batches
+            spec = (P(None, None, 'data') if scan_axis
+                    else P(None, 'data'))
+            return jax.device_put(stack_np,
+                                  NamedSharding(self._sharding.mesh, spec))
+        return jnp.asarray(stack_np)
+
+    def _next_batches(self):
+        """(grad_accum, B, C, H, W) micro-batch stack, device-sharded."""
+        return self._put(self._next_batches_np(), scan_axis=False)
 
     def train(self, log_every: int = 100, steps_per_call: int = 20):
         t0 = time.time()
@@ -342,8 +352,9 @@ class Trainer:
             k = min(steps_per_call, self.train_num_steps - self.step,
                     to_milestone)
             self._key, sub = jax.random.split(self._key)
-            batches_stack = jnp.stack(
-                [self._next_batches() for _ in range(k)])
+            batches_stack = self._put(
+                np.stack([self._next_batches_np() for _ in range(k)]),
+                scan_axis=True)
             (self.params, self.opt_state, self.ema_params, new_step,
              losses) = self._train_multi(self.params, self.opt_state,
                                          self.ema_params, self.step,

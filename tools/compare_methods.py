@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument('--out', type=Path, default=None)
     args = p.parse_args(argv)
 
+    from red_diffeq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from red_diffeq_tpu.bench_methods.diffusion_fwi import DiffusionFWI
     from red_diffeq_tpu.bench_methods.ilvr_fwi import ILVR_FWI
     from red_diffeq_tpu.core.inversion import InversionEngine

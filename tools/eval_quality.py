@@ -39,8 +39,15 @@ def main(argv=None):
                         "solver as the inversion (inverse crime, upper "
                         "bound); 'refined' = dt/2 + dx/2 grid (honest "
                         "forward-model mismatch)")
+    p.add_argument('--regs', type=str, nargs='+',
+                   default=['none', 'tv', 'l2', 'diffusion'],
+                   help='regularizations to evaluate (each one is its own '
+                        'compiled program — trim on slow-compile hosts)')
     p.add_argument('--out', type=Path, default=None)
     args = p.parse_args(argv)
+
+    from red_diffeq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from red_diffeq_tpu.core.inversion import InversionEngine
     from red_diffeq_tpu.io.checkpoints import load_diffusion_params
@@ -89,8 +96,9 @@ def main(argv=None):
 
     results = {}
     for obs_name, y in observations.items():
-        for reg, lam in (('none', 0.0), ('tv', 0.01), ('l2', 0.01),
-                         ('diffusion', 0.75)):
+        lambdas = {'none': 0.0, 'tv': 0.01, 'l2': 0.01, 'diffusion': 0.75}
+        for reg in args.regs:
+            lam = lambdas[reg]
             engine = InversionEngine(diffusion, regularization=reg,
                                      sigma_x0=1e-4)
             t0 = time.time()

@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument('--out', type=Path, default=None)
     args = p.parse_args(argv)
 
+    from red_diffeq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from red_diffeq_tpu.core.inversion import InversionEngine
     from red_diffeq_tpu.io.checkpoints import load_diffusion_params
     from red_diffeq_tpu.io.synthetic import generate_mixed_dataset
