@@ -7,26 +7,18 @@ each grid iteration — profiling showed the kernel is bound by per-grid-
 iteration overhead (~7 us), not bandwidth or compute, so fewer, fatter
 iterations are the main lever.
 
-Kernel family (grid (B, chunk/U) — ALL shots of a sample advance inside
-one program as an (ns, Hp, Wp) block, the innermost axis sweeps
-step-groups):
+Kernel family (grid (B, ns, chunk/U) — one (sample, shot) wavefield per
+program, innermost axis sweeps step-groups):
 
 * ``_fwd_kernel``  — U fused FD steps per iteration; wavefield carry in
-  VMEM scratch; each step's receiver rows land as one (ns, ng) vector
-  store into a chunk-resident VMEM output block.
+  VMEM scratch; receiver rows accumulate into a chunk-resident VMEM
+  output block (written back to HBM once per (sample, shot)).
 * ``_tape_kernel`` — same stepping, writing the U post-injection states
   of each iteration to an HBM tape (backward pass only).
 * ``_bwd_kernel``  — reverse sweep: U adjoint steps per iteration against
-  a haloed tape block, producing cotangents for the wavefield carry, the
-  coefficient fields (alpha, temp1, temp2 — shot-reduced in-register) and
-  the source-injection row. Uses the self-adjointness of the circular
-  4th-order Laplacian.
-
-Folding the shot axis into the block (instead of a grid dimension) cuts
-the number of grid iterations by ns and hands the VPU ns-times-fatter
-elementwise ops; the coefficient cotangent shot-reduction becomes one
-in-kernel ``sum(axis=0)`` instead of ns sequential read-modify-writes of
-the same HBM block.
+  two adjacent tape blocks, producing cotangents for the wavefield carry,
+  the coefficient fields (alpha, temp1, temp2) and the source-injection
+  row. Uses the self-adjointness of the circular 4th-order Laplacian.
 
 Mosaic has no value-level scatter/DUS, so point injection is expressed as
 an iota row-mask FMA with the precomputed injection field ``inj``
@@ -35,10 +27,9 @@ the differentiable handle for the source term's velocity gradient. The
 Ricker wavelet is a config constant (zero cotangent by design).
 
 ``pallas_chunk`` wraps the kernels as a ``jax.custom_vjp``: forward saves
-only the chunk-start carry + coefficients; backward either inverts the
-damped recursion (default, tape-free) or re-runs the chunk via the tape
-kernel and sweeps it in reverse — an O(chunk) HBM tape that lives only
-during one chunk's backward.
+only the chunk-start carry + coefficients; backward re-runs the chunk via
+the tape kernel and sweeps it in reverse — an O(chunk) HBM tape that
+lives only during one chunk's backward.
 
 Semantics match reference red_diffeq/solvers/pde.py:61-86 exactly
 (roll-wraparound boundaries, post-injection recording).
@@ -54,10 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 C1, C2, C3 = -2.5, 4.0 / 3.0, -1.0 / 12.0
 
 
-def pick_unroll(chunk: int, cap: int = 10) -> int:
-    """Largest supported unroll factor dividing the chunk, at most cap."""
+def pick_unroll(chunk: int) -> int:
+    """Largest supported unroll factor dividing the chunk."""
     for u in (10, 8, 5, 4, 2, 1):
-        if u <= cap and chunk % u == 0:
+        if chunk % u == 0:
             return u
     return 1
 
@@ -65,9 +56,6 @@ def pick_unroll(chunk: int, cap: int = 10) -> int:
 # The v5e core has 128 MB of VMEM; the Mosaic default scoped limit is
 # 16 MB. The haloed tape block + unrolled adjoint temporaries need more.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-# Budget for the (double-buffered) tape block when capping the tape-mode
-# unroll on large grids: (U+2) * ns * Hp * Wp * 4 B * 2 <= this.
-_TAPE_VMEM_BUDGET = 60 * 1024 * 1024
 
 
 def _roll(p, shift, axis):
@@ -76,45 +64,43 @@ def _roll(p, shift, axis):
 
 
 def _lap(p):
-    """4th-order circular Laplacian stencil over the last two axes."""
-    a, b = p.ndim - 2, p.ndim - 1
-    return (C2 * (_roll(p, 1, a) + _roll(p, -1, a)
-                  + _roll(p, 1, b) + _roll(p, -1, b))
-            + C3 * (_roll(p, 2, a) + _roll(p, -2, a)
-                    + _roll(p, 2, b) + _roll(p, -2, b)))
+    """4th-order circular Laplacian stencil on (Hp, Wp)."""
+    return (C2 * (_roll(p, 1, 0) + _roll(p, -1, 0)
+                  + _roll(p, 1, 1) + _roll(p, -1, 1))
+            + C3 * (_roll(p, 2, 0) + _roll(p, -2, 0)
+                    + _roll(p, 2, 1) + _roll(p, -2, 1)))
 
 
 def _row_mask(hp, wp, row):
-    """(1, Hp, Wp) one-hot row indicator built from iota (static row)."""
+    """(Hp, Wp) one-hot row indicator built from iota (static row)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    return (rows == row).astype(jnp.float32)[None]
+    return (rows == row).astype(jnp.float32)
 
 
 def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
                 src_ref, p0_out, p1_out, rec_ref, state,
                 *, unroll, n_iter, isz, igz, g0, g1):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
-        state[0] = p0_ref[0]
-        state[1] = p1_ref[0]
+        state[0] = p0_ref[0, 0]
+        state[1] = p1_ref[0, 0]
 
-    p0 = state[0]                                     # (ns, Hp, Wp)
+    p0 = state[0]
     p1 = state[1]
-    alpha = alpha_ref[0, 0]                           # (Hp, Wp), bcast
+    alpha = alpha_ref[0, 0]
     t1 = t1_ref[0, 0]
     t2 = t2_ref[0, 0]
-    inj = inj_ref[0]                                  # (ns, 1, Wp)
-    _, hp, wp = p0.shape
+    inj_row = inj_ref[0, 0, 0]                        # (Wp,)
+    hp, wp = p0.shape
     src_mask = _row_mask(hp, wp, isz)
 
     for u in range(unroll):
-        k = j * unroll + u
-        src_u = src_ref[k]
+        src_u = src_ref[j * unroll + u]
         p = t1 * p1 - t2 * p0 + alpha * _lap(p1)
-        p = p + src_mask * (inj * src_u)
-        rec_ref[0, k] = p[:, igz, g0:g1]              # (ns, ng)
+        p = p + src_mask * (inj_row * src_u)[None, :]
+        rec_ref[0, 0, j * unroll + u] = p[igz, g0:g1]
         p0, p1 = p1, p
 
     state[0] = p0
@@ -122,40 +108,39 @@ def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
 
     @pl.when(j == n_iter - 1)
     def _():
-        p0_out[0] = p0
-        p1_out[0] = p1
+        p0_out[0, 0] = p0
+        p1_out[0, 0] = p1
 
 
 def _tape_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
                  src_ref, tape_ref, state, *, unroll, isz):
     """Haloed tape: block j holds [s_{jU-1}, s_{jU}, s_{jU+1..jU+U}]
-    (U+2 states, each (ns, Hp, Wp)) where s_m is the post-injection
-    wavefield after m forward steps (s_0 = p1_in, s_{-1} = p0_in). The
-    2-state halo means the backward sweep needs exactly ONE tape block
-    per iteration."""
-    j = pl.program_id(1)
+    (U+2 states) where s_m is the post-injection wavefield after m
+    forward steps (s_0 = p1_in, s_{-1} = p0_in). The 2-state halo means
+    the backward sweep needs exactly ONE tape block per iteration."""
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
-        state[0] = p0_ref[0]
-        state[1] = p1_ref[0]
+        state[0] = p0_ref[0, 0]
+        state[1] = p1_ref[0, 0]
 
     p0 = state[0]
     p1 = state[1]
     alpha = alpha_ref[0, 0]
     t1 = t1_ref[0, 0]
     t2 = t2_ref[0, 0]
-    inj = inj_ref[0]
-    _, hp, wp = p0.shape
+    inj_row = inj_ref[0, 0, 0]
+    hp, wp = p0.shape
     src_mask = _row_mask(hp, wp, isz)
 
-    tape_ref[0, 0, 0] = p0
-    tape_ref[0, 0, 1] = p1
+    tape_ref[0, 0, 0, 0] = p0
+    tape_ref[0, 0, 1, 0] = p1
     for u in range(unroll):
         src_u = src_ref[j * unroll + u]
         p = t1 * p1 - t2 * p0 + alpha * _lap(p1)
-        p = p + src_mask * (inj * src_u)
-        tape_ref[0, 0, 2 + u] = p
+        p = p + src_mask * (inj_row * src_u)[None, :]
+        tape_ref[0, 0, 2 + u, 0] = p
         p0, p1 = p1, p
 
     state[0] = p0
@@ -173,31 +158,36 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
     Adjoint recursion for s_m = t1*s_{m-1} - t2*s_{m-2} + alpha*L(s_{m-1})+S:
       v' = v + G^T rec_ct_m
       (u, v) <- (-t2*v', u + t1*v' + L(alpha*v'))
-    with coefficient cotangents shot-reduced in-kernel (sum over axis 0).
+    with coefficient cotangents accumulated against taped states (summed
+    over shots through the constant-index output blocks).
     """
-    jj = pl.program_id(1)
+    s = pl.program_id(1)
+    jj = pl.program_id(2)
 
     @pl.when(jj == 0)
     def _():
-        carry[0] = gp0_out_ref[0]
-        carry[1] = gp1_out_ref[0]
-        ginj_ref[0] = jnp.zeros_like(ginj_ref[0])
+        carry[0] = gp0_out_ref[0, 0]
+        carry[1] = gp1_out_ref[0, 0]
+        ginj_ref[0, 0, 0] = jnp.zeros_like(ginj_ref[0, 0, 0])
+
+    @pl.when((jj == 0) & (s == 0))
+    def _():
         galpha_ref[0, 0] = jnp.zeros_like(galpha_ref[0, 0])
         gt1_ref[0, 0] = jnp.zeros_like(gt1_ref[0, 0])
         gt2_ref[0, 0] = jnp.zeros_like(gt2_ref[0, 0])
 
-    u_c = carry[0]                                    # (ns, Hp, Wp)
+    u_c = carry[0]
     v = carry[1]
     alpha = alpha_ref[0, 0]
     t1 = t1_ref[0, 0]
     t2 = t2_ref[0, 0]
-    _, hp, wp = u_c.shape
+    hp, wp = u_c.shape
     rec_mask = _row_mask(hp, wp, igz)
 
     galpha_acc = jnp.zeros((hp, wp), jnp.float32)
     gt1_acc = jnp.zeros((hp, wp), jnp.float32)
     gt2_acc = jnp.zeros((hp, wp), jnp.float32)
-    ginj_acc = jnp.zeros_like(ginj_ref[0])            # (ns, 1, Wp)
+    ginj_acc = jnp.zeros((wp,), jnp.float32)
 
     for u in range(unroll):
         local = unroll - u                # m - jU, descending U..1
@@ -206,20 +196,20 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
         # Receiver cotangent into the post-injection state s_m
         # (pre-padded to full width outside the kernel — Mosaic cannot
         # concatenate unaligned 1-D vectors).
-        rec_full = rec_ct_ref[0, k]                   # (ns, Wp)
-        v = v + rec_mask * rec_full[:, None, :]
+        rec_full = rec_ct_ref[0, 0, k]                        # (Wp,)
+        v = v + rec_mask * rec_full[None, :]
 
-        s_m1 = tape_ref[0, 0, local]                  # s_{m-1}, (ns, Hp, Wp)
-        s_m2 = tape_ref[0, 0, local - 1]              # s_{m-2}
+        s_m1 = tape_ref[0, 0, local, 0]       # s_{m-1}
+        s_m2 = tape_ref[0, 0, local - 1, 0]   # s_{m-2}
 
-        ginj_acc = ginj_acc + v[:, isz, :][:, None, :] * src_ref[k]
+        ginj_acc = ginj_acc + v[isz, :] * src_ref[k]
 
         new_v = u_c + t1 * v + _lap(alpha * v)
         new_u = -t2 * v
 
-        galpha_acc = galpha_acc + jnp.sum(v * _lap(s_m1), axis=0)
-        gt1_acc = gt1_acc + jnp.sum(v * s_m1, axis=0)
-        gt2_acc = gt2_acc - jnp.sum(v * s_m2, axis=0)
+        galpha_acc = galpha_acc + v * _lap(s_m1)
+        gt1_acc = gt1_acc + v * s_m1
+        gt2_acc = gt2_acc - v * s_m2
         u_c, v = new_u, new_v
 
     carry[0] = u_c
@@ -227,12 +217,12 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
     galpha_ref[0, 0] += galpha_acc
     gt1_ref[0, 0] += gt1_acc
     gt2_ref[0, 0] += gt2_acc
-    ginj_ref[0] += ginj_acc
+    ginj_ref[0, 0, 0] += ginj_acc
 
     @pl.when(jj == n_iter - 1)
     def _():
-        gp0_ref[0] = carry[0]
-        gp1_ref[0] = carry[1]
+        gp0_ref[0, 0] = carry[0]
+        gp1_ref[0, 0] = carry[1]
 
 
 def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
@@ -255,17 +245,21 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
     tape pass (one extra forward recompute + 2x chunk-sized HBM traffic).
 
     Scratch carry layout: [0]=u (cotangent of s_{m-1}), [1]=v (cotangent
-    of s_m), [2]=s_m, [3]=s_{m-1} — each (ns, Hp, Wp).
+    of s_m), [2]=s_m, [3]=s_{m-1}.
     """
-    jj = pl.program_id(1)
+    sidx = pl.program_id(1)
+    jj = pl.program_id(2)
 
     @pl.when(jj == 0)
     def _():
-        carry[0] = gp0_out_ref[0]
-        carry[1] = gp1_out_ref[0]
-        carry[2] = p1_out_ref[0]         # s_chunk
-        carry[3] = p0_out_ref[0]         # s_{chunk-1}
-        ginj_ref[0] = jnp.zeros_like(ginj_ref[0])
+        carry[0] = gp0_out_ref[0, 0]
+        carry[1] = gp1_out_ref[0, 0]
+        carry[2] = p1_out_ref[0, 0]      # s_chunk
+        carry[3] = p0_out_ref[0, 0]      # s_{chunk-1}
+        ginj_ref[0, 0, 0] = jnp.zeros_like(ginj_ref[0, 0, 0])
+
+    @pl.when((jj == 0) & (sidx == 0))
+    def _():
         galpha_ref[0, 0] = jnp.zeros_like(galpha_ref[0, 0])
         gt1_ref[0, 0] = jnp.zeros_like(gt1_ref[0, 0])
         gt2_ref[0, 0] = jnp.zeros_like(gt2_ref[0, 0])
@@ -277,8 +271,8 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
     alpha = alpha_ref[0, 0]
     t1 = t1_ref[0, 0]
     t2 = t2_ref[0, 0]
-    inj = inj_ref[0]                                  # (ns, 1, Wp)
-    _, hp, wp = v.shape
+    inj_row = inj_ref[0, 0, 0]
+    hp, wp = v.shape
     rec_mask = _row_mask(hp, wp, igz)
     src_mask = _row_mask(hp, wp, isz)
     inv_t2 = 1.0 / t2
@@ -286,22 +280,22 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
     galpha_acc = jnp.zeros((hp, wp), jnp.float32)
     gt1_acc = jnp.zeros((hp, wp), jnp.float32)
     gt2_acc = jnp.zeros((hp, wp), jnp.float32)
-    ginj_acc = jnp.zeros_like(ginj_ref[0])
+    ginj_acc = jnp.zeros((wp,), jnp.float32)
 
     for u in range(unroll):
         k = chunk - 1 - jj * unroll - u          # 0-based step = m-1
 
-        rec_full = rec_ct_ref[0, k]                   # (ns, Wp)
-        v = v + rec_mask * rec_full[:, None, :]
+        rec_full = rec_ct_ref[0, 0, k]
+        v = v + rec_mask * rec_full[None, :]
 
         lap_s = _lap(s_m1)
-        inj_field = src_mask * (inj * src_ref[k])
+        inj_field = src_mask * (inj_row * src_ref[k])[None, :]
         s_m2 = (t1 * s_m1 + alpha * lap_s + inj_field - s_m) * inv_t2
 
-        ginj_acc = ginj_acc + v[:, isz, :][:, None, :] * src_ref[k]
-        galpha_acc = galpha_acc + jnp.sum(v * lap_s, axis=0)
-        gt1_acc = gt1_acc + jnp.sum(v * s_m1, axis=0)
-        gt2_acc = gt2_acc - jnp.sum(v * s_m2, axis=0)
+        ginj_acc = ginj_acc + v[isz, :] * src_ref[k]
+        galpha_acc = galpha_acc + v * lap_s
+        gt1_acc = gt1_acc + v * s_m1
+        gt2_acc = gt2_acc - v * s_m2
 
         new_v = u_c + t1 * v + _lap(alpha * v)
         new_u = -t2 * v
@@ -315,44 +309,42 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
     galpha_ref[0, 0] += galpha_acc
     gt1_ref[0, 0] += gt1_acc
     gt2_ref[0, 0] += gt2_acc
-    ginj_ref[0] += ginj_acc
+    ginj_ref[0, 0, 0] += ginj_acc
 
     @pl.when(jj == n_iter - 1)
     def _():
-        gp0_ref[0] = carry[0]
-        gp1_ref[0] = carry[1]
+        gp0_ref[0, 0] = carry[0]
+        gp1_ref[0, 0] = carry[1]
 
 
-def _field_spec(ns, hp, wp):
-    """Per-sample all-shots wavefield block."""
-    return pl.BlockSpec((1, ns, hp, wp), lambda b, j: (b, 0, 0, 0),
+def _field_spec(hp, wp):
+    """Per-(sample, shot) wavefield block."""
+    return pl.BlockSpec((1, 1, hp, wp), lambda b, s, j: (b, s, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _coef_spec(hp, wp):
     """Per-sample coefficient block (shared across shots)."""
-    return pl.BlockSpec((1, 1, hp, wp), lambda b, j: (b, 0, 0, 0),
+    return pl.BlockSpec((1, 1, hp, wp), lambda b, s, j: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _inj_spec(ns, wp):
+def _inj_spec(wp):
     # inj carried as (B, ns, 1, Wp): trailing block dims satisfy the
     # Mosaic tiling rule (second-to-last == array dim).
-    return pl.BlockSpec((1, ns, 1, wp), lambda b, j: (b, 0, 0, 0),
+    return pl.BlockSpec((1, 1, 1, wp), lambda b, s, j: (b, s, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _src_spec(chunk):
-    return pl.BlockSpec((chunk,), lambda b, j: (0,),
+    return pl.BlockSpec((chunk,), lambda b, s, j: (0,),
                         memory_space=pltpu.SMEM)
 
 
-def _rec_spec(chunk, ns, ng):
-    """Chunk-resident receiver block: (B, chunk, ns, ng), one block per
-    sample, constant over the step axis -> stays in VMEM. The step axis
-    leads (untiled) so each FD step stores one (ns, ng) vector at a
-    dynamic leading index."""
-    return pl.BlockSpec((1, chunk, ns, ng), lambda b, j: (b, 0, 0, 0),
+def _rec_spec(chunk, ng):
+    """Chunk-resident receiver block: (B, ns, chunk, ng), one block per
+    (sample, shot), constant over the step axis -> stays in VMEM."""
+    return pl.BlockSpec((1, 1, chunk, ng), lambda b, s, j: (b, s, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -366,27 +358,27 @@ def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
                    igz=geom.igz, g0=g0, g1=g1)
     return pl.pallas_call(
         kern,
-        grid=(b, n_iter),
+        grid=(b, ns, n_iter),
         in_specs=[
-            _field_spec(ns, hp, wp),
-            _field_spec(ns, hp, wp),
+            _field_spec(hp, wp),
+            _field_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
-            _inj_spec(ns, wp),
+            _inj_spec(wp),
             _src_spec(chunk),
         ],
         out_specs=[
-            _field_spec(ns, hp, wp),
-            _field_spec(ns, hp, wp),
-            _rec_spec(chunk, ns, ng),
+            _field_spec(hp, wp),
+            _field_spec(hp, wp),
+            _rec_spec(chunk, ng),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ns, hp, wp), p0.dtype),
             jax.ShapeDtypeStruct((b, ns, hp, wp), p0.dtype),
-            jax.ShapeDtypeStruct((b, chunk, ns, ng), p0.dtype),
+            jax.ShapeDtypeStruct((b, ns, chunk, ng), p0.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((2, ns, hp, wp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(p0, p1, alpha, t1, t2, inj, src_chunk)
@@ -399,23 +391,23 @@ def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
     kern = partial(_tape_kernel, unroll=unroll, isz=geom.isz)
     return pl.pallas_call(
         kern,
-        grid=(b, n_iter),
+        grid=(b, ns, n_iter),
         in_specs=[
-            _field_spec(ns, hp, wp),
-            _field_spec(ns, hp, wp),
+            _field_spec(hp, wp),
+            _field_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
-            _inj_spec(ns, wp),
+            _inj_spec(wp),
             _src_spec(chunk),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, unroll + 2, ns, hp, wp),
-            lambda b_, j: (b_, j, 0, 0, 0, 0),
+            (1, 1, unroll + 2, 1, hp, wp),
+            lambda b_, s, j: (b_, j, 0, s, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (b, chunk // unroll, unroll + 2, ns, hp, wp), p0.dtype),
-        scratch_shapes=[pltpu.VMEM((2, ns, hp, wp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(p0, p1, alpha, t1, t2, inj, src_chunk)
@@ -425,33 +417,34 @@ def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
              *, geom, chunk, unroll, interpret=False):
     b, ns, hp, wp = gp0o.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
+    ng = g1 - g0
     n_iter = chunk // unroll
     kern = partial(_bwd_kernel, unroll=unroll, n_iter=n_iter, chunk=chunk,
                    isz=geom.isz, igz=geom.igz, g0=g0, g1=g1)
     tape_spec = pl.BlockSpec(
-        (1, 1, unroll + 2, ns, hp, wp),
-        lambda b_, j: (b_, n_iter - 1 - j, 0, 0, 0, 0),
+        (1, 1, unroll + 2, 1, hp, wp),
+        lambda b_, s, j: (b_, n_iter - 1 - j, 0, s, 0, 0),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(b, n_iter),
+        grid=(b, ns, n_iter),
         in_specs=[
             tape_spec,
-            _field_spec(ns, hp, wp),                     # g p0_out
-            _field_spec(ns, hp, wp),                     # g p1_out
-            _rec_spec(chunk, ns, wp),                    # rec ct (padded)
+            _field_spec(hp, wp),                         # g p0_out
+            _field_spec(hp, wp),                         # g p1_out
+            _rec_spec(chunk, wp),                        # rec ct (padded)
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
             _src_spec(chunk),
         ],
         out_specs=[
-            _field_spec(ns, hp, wp),                     # g p0
-            _field_spec(ns, hp, wp),                     # g p1
+            _field_spec(hp, wp),                         # g p0
+            _field_spec(hp, wp),                         # g p1
             _coef_spec(hp, wp),                          # g alpha (summed
             _coef_spec(hp, wp),                          # g t1    over
             _coef_spec(hp, wp),                          # g t2    shots)
-            _inj_spec(ns, wp),                           # g inj
+            _inj_spec(wp),                               # g inj
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ns, hp, wp), jnp.float32),
@@ -461,7 +454,7 @@ def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
             jax.ShapeDtypeStruct((b, 1, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((b, ns, 1, wp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((2, ns, hp, wp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk)
@@ -476,26 +469,26 @@ def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
                    chunk=chunk, isz=geom.isz, igz=geom.igz, g0=g0, g1=g1)
     return pl.pallas_call(
         kern,
-        grid=(b, n_iter),
+        grid=(b, ns, n_iter),
         in_specs=[
-            _field_spec(ns, hp, wp),                     # p0_out (s_{K-1})
-            _field_spec(ns, hp, wp),                     # p1_out (s_K)
-            _field_spec(ns, hp, wp),                     # g p0_out
-            _field_spec(ns, hp, wp),                     # g p1_out
-            _rec_spec(chunk, ns, wp),                    # rec ct (padded)
+            _field_spec(hp, wp),                         # p0_out (s_{K-1})
+            _field_spec(hp, wp),                         # p1_out (s_K)
+            _field_spec(hp, wp),                         # g p0_out
+            _field_spec(hp, wp),                         # g p1_out
+            _rec_spec(chunk, wp),                        # rec ct (padded)
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
-            _inj_spec(ns, wp),
+            _inj_spec(wp),
             _src_spec(chunk),
         ],
         out_specs=[
-            _field_spec(ns, hp, wp),
-            _field_spec(ns, hp, wp),
+            _field_spec(hp, wp),
+            _field_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
-            _inj_spec(ns, wp),
+            _inj_spec(wp),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ns, hp, wp), jnp.float32),
@@ -505,7 +498,7 @@ def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
             jax.ShapeDtypeStruct((b, 1, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((b, ns, 1, wp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((4, ns, hp, wp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((4, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj, src_chunk)
@@ -515,7 +508,7 @@ def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
 def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
                  unroll, mode='reverse', interpret=False):
     """One chunk of FD time steps on TPU. Returns (p0', p1', recs) with
-    recs of shape (B, chunk, ns, ng). ``mode`` picks the adjoint
+    recs of shape (B, ns, chunk, ng). ``mode`` picks the adjoint
     implementation ('reverse' | 'tape'); ``interpret=True`` runs the
     kernels in the Pallas interpreter (CPU CI)."""
     return _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk,
@@ -593,13 +586,6 @@ def build_injection_field(beta_pts, isx, wp):
     return inj[:, :, None, :]
 
 
-def _tape_unroll_cap(ns, hp, wp) -> int:
-    """Largest unroll whose double-buffered haloed tape block fits the
-    VMEM budget: (U+2) * ns * Hp * Wp * 4 B * 2 <= budget."""
-    per_state = ns * hp * wp * 4 * 2
-    return max(1, _TAPE_VMEM_BUDGET // per_state - 2)
-
-
 def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
                     mode=None, interpret=False):
     """Adapter with the (carry, src_chunk) -> (carry, recs) signature the
@@ -618,16 +604,15 @@ def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
         mode = ADJOINT_MODE
         if mode == 'reverse' and _t2_lower_bound(geom) < _T2_GUARD:
             mode = 'tape'
-    hp, wp = alpha.shape[-2:]
+    wp = alpha.shape[-1]
     inj = build_injection_field(beta_pts, geom.isx, wp)
-    cap = _tape_unroll_cap(geom.ns, hp, wp) if mode == 'tape' else 10
-    unroll = pick_unroll(chunk, cap)
+    unroll = pick_unroll(chunk)
 
     def chunk_fn(carry, src_chunk):
         p0, p1 = carry
         p0o, p1o, recs = pallas_chunk(p0, p1, alpha, temp1, temp2, inj,
                                       src_chunk, geom, chunk, unroll,
                                       mode, interpret)
-        return (p0o, p1o), jnp.transpose(recs, (1, 0, 2, 3))
+        return (p0o, p1o), jnp.transpose(recs, (2, 0, 1, 3))
 
     return chunk_fn
