@@ -105,6 +105,119 @@ class InversionEngine:
             use_time_weight=self.use_time_weight,
             fixed_timestep=self.fixed_timestep)
 
+    @staticmethod
+    def _operator_key(fwi_forward):
+        """Stable operator identity: physics/backend contents for
+        FWIForward (two operators with equal geometry legitimately share
+        a program); the callable object itself otherwise — holding it in
+        the key keeps it alive, so a recycled id() can never alias a
+        stale program."""
+        if hasattr(fwi_forward, 'geom'):
+            return (fwi_forward.geom, fwi_forward.backend,
+                    fwi_forward.chunk, fwi_forward.remat,
+                    fwi_forward.normalize,
+                    getattr(fwi_forward, 'adjoint', None))
+        return fwi_forward
+
+    def _get_program(self, reg_name, ts, lr, reg_lambda, use_scan,
+                     mu_shape, y_shape, fwi_forward):
+        """Build (or fetch) the compiled-program entry for one static
+        configuration.
+
+        The diffusion U-Net params are threaded through the program as a
+        TRACED pytree argument, not trace-time constants: one compiled
+        program serves any checkpoint, which keeps JAX's persistent
+        compilation cache valid across pretraining milestones and EMA
+        exports."""
+        cache_key = (reg_name, ts, float(lr), float(reg_lambda),
+                     float(self.sigma_x0), use_scan, tuple(mu_shape),
+                     tuple(y_shape), self._operator_key(fwi_forward))
+        entry = self._program_cache.get(cache_key)
+        if entry is not None:
+            return entry
+
+        is_diffusion = reg_name == 'diffusion'
+        schedule = optax.cosine_decay_schedule(lr, decay_steps=ts,
+                                               alpha=0.0)
+        optimizer = optax.adam(schedule)
+        fwi_fn = fwi_forward._forward \
+            if hasattr(fwi_forward, '_forward') else fwi_forward
+        diffusion = self.diffusion_model
+
+        def traced_step(params):
+            """Build the step fn with ``params`` (tracers at trace time)
+            visible to the U-Net apply: the GaussianDiffusion bundle reads
+            ``self.params`` lazily at call time, so swapping them in for
+            the duration of tracing turns the weights into program
+            inputs."""
+            if is_diffusion and diffusion is not None:
+                diffusion.params = params
+            return make_inversion_step(
+                fwi_fn, self._build_reg_fn(reg_name), optimizer,
+                reg_lambda, self.sigma_x0, is_diffusion)
+
+        def with_params(params, go):
+            saved = getattr(diffusion, 'params', None)
+            try:
+                return go(traced_step(params))
+            finally:
+                if is_diffusion and diffusion is not None:
+                    diffusion.params = saved
+
+        @jax.jit
+        def run_scan(carry, keys, y, mask, mu_true_norm, params):
+            return with_params(params, lambda step: jax.lax.scan(
+                partial(step, y=y, mask=mask, mu_true_norm=mu_true_norm),
+                carry, keys))
+
+        @jax.jit
+        def run_step(carry, k, y, mask, mu_true_norm, params):
+            return with_params(params, lambda step: step(
+                carry, k, y=y, mask=mask, mu_true_norm=mu_true_norm))
+
+        entry = (optimizer, run_scan, run_step)
+        self._program_cache[cache_key] = entry
+        return entry
+
+    def warm_compile(self, mu_shape, y_shape, fwi_forward, ts: int = 300,
+                     lr: float = 0.03, reg_lambda: float = 0.01,
+                     regularization: Optional[str] = None,
+                     use_scan: bool = True, params_template=None):
+        """Ahead-of-time compile of the whole-loop scan program for one
+        static configuration — fills JAX's (persistent) compilation cache
+        through the compile service WITHOUT dispatching work to the chip,
+        so it can run while the accelerator is busy (e.g. pretraining).
+
+        ``params_template``: pytree of arrays or ShapeDtypeStructs
+        matching the U-Net params; defaults to the bundle's current ones
+        (required for 'diffusion'). Returns the compiled executable."""
+        reg_name = (regularization if regularization is not None
+                    else self.regularization)
+        is_diffusion = reg_name == 'diffusion'
+        optimizer, run_scan, _ = self._get_program(
+            reg_name, ts, lr, reg_lambda, use_scan, tuple(mu_shape),
+            tuple(y_shape), fwi_forward)
+
+        f32 = jnp.float32
+        mu = jax.ShapeDtypeStruct(tuple(mu_shape), f32)
+        y = jax.ShapeDtypeStruct(tuple(y_shape), f32)
+        mask = jax.ShapeDtypeStruct(tuple(y_shape), f32)
+        b, _, hp2, wp2 = mu_shape
+        mu_true = jax.ShapeDtypeStruct((b, 1, hp2 - 2, wp2 - 2), f32)
+        keys = jax.ShapeDtypeStruct((ts, 2), jnp.uint32)
+        if is_diffusion:
+            src = (params_template if params_template is not None
+                   else self.diffusion_model.params)
+            params = jax.tree_util.tree_map(
+                lambda p: jax.ShapeDtypeStruct(jnp.shape(p),
+                                               jnp.result_type(p)), src)
+        else:
+            params = {}
+        opt_state = jax.eval_shape(optimizer.init, mu)
+        lowered = run_scan.lower((mu, opt_state), keys, y, mask, mu_true,
+                                 params)
+        return lowered.compile()
+
     def optimize(self, mu, mu_true, y, fwi_forward, ts: int = 300,
                  lr: float = 0.03, reg_lambda: float = 0.01,
                  noise_std: float = 0.0, noise_type: str = 'gaussian',
@@ -142,8 +255,10 @@ class InversionEngine:
             raise ValueError('fwi_forward must be a callable forward modeling function')
 
         reg_name = regularization if regularization is not None else self.regularization
-        reg_fn = self._build_reg_fn(reg_name)
         is_diffusion = reg_name == 'diffusion'
+        if is_diffusion and self.diffusion_model is None:
+            raise ValueError(
+                "Diffusion model required for 'diffusion' regularization")
 
         if key is None:
             from red_diffeq_tpu.utils.seed_utils import next_key
@@ -169,51 +284,21 @@ class InversionEngine:
             y = jax.device_put(y, batch_shot_sharding(mesh))
             mask = jax.device_put(mask, batch_shot_sharding(mesh))
 
-        # Stable operator identity: physics/backend contents for FWIForward
-        # (two operators with equal geometry legitimately share a program);
-        # the callable object itself otherwise — holding it in the key keeps
-        # it alive, so a recycled id() can never alias a stale program.
-        if hasattr(fwi_forward, 'geom'):
-            op_key = (fwi_forward.geom, fwi_forward.backend,
-                      fwi_forward.chunk, fwi_forward.remat,
-                      fwi_forward.normalize,
-                      getattr(fwi_forward, 'adjoint', None))
-        else:
-            op_key = fwi_forward
-        cache_key = (reg_name, ts, float(lr), float(reg_lambda),
-                     float(self.sigma_x0), use_scan, mu.shape, y.shape,
-                     op_key)
-        # Diffusion params are baked into the traced program as constants;
-        # invalidate the entry if they were swapped since compilation.
-        params_now = (getattr(self.diffusion_model, 'params', None)
-                      if is_diffusion else None)
-        entry = self._program_cache.get(cache_key)
-        if entry is not None and entry[3] is not params_now:
-            entry = None
-        if entry is None:
-            schedule = optax.cosine_decay_schedule(lr, decay_steps=ts,
-                                                   alpha=0.0)
-            optimizer = optax.adam(schedule)
-            fwi_fn = fwi_forward._forward \
-                if hasattr(fwi_forward, '_forward') else fwi_forward
-            step = make_inversion_step(fwi_fn, reg_fn, optimizer,
-                                       reg_lambda, self.sigma_x0,
-                                       is_diffusion)
+        optimizer, run_scan_p, run_step_p = self._get_program(
+            reg_name, ts, lr, reg_lambda, use_scan, mu.shape, y.shape,
+            fwi_forward)
+        # U-Net params enter the program as a traced argument (never baked
+        # constants): swapping checkpoints between calls needs no retrace,
+        # and the persistent compilation cache survives weight updates.
+        params_arg = (self.diffusion_model.params if is_diffusion else {})
 
-            @jax.jit
-            def run_scan(carry, keys, y, mask, mu_true_norm):
-                return jax.lax.scan(
-                    partial(step, y=y, mask=mask,
-                            mu_true_norm=mu_true_norm), carry, keys)
+        def run_scan(carry, keys, y, mask, mu_true_norm):
+            return run_scan_p(carry, keys, y, mask, mu_true_norm,
+                              params_arg)
 
-            @jax.jit
-            def run_step(carry, k, y, mask, mu_true_norm):
-                return step(carry, k, y=y, mask=mask,
-                            mu_true_norm=mu_true_norm)
+        def run_step(carry, k, y, mask, mu_true_norm):
+            return run_step_p(carry, k, y, mask, mu_true_norm, params_arg)
 
-            self._program_cache[cache_key] = (optimizer, run_scan, run_step,
-                                              params_now)
-        optimizer, run_scan, run_step, _ = self._program_cache[cache_key]
         opt_state = optimizer.init(mu)
         step_keys = jax.random.split(key, ts)
 

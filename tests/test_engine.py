@@ -194,9 +194,11 @@ def test_program_cache_distinguishes_operators():
     assert len(engine._program_cache) == 2
 
 
-def test_program_cache_invalidated_on_params_swap():
-    """Swapping diffusion params between optimize() calls must retrace —
-    the old program baked the previous params in as constants."""
+def test_program_cache_survives_params_swap():
+    """U-Net params are a traced program argument, so swapping
+    checkpoints between optimize() calls must (a) change the result and
+    (b) NOT create a new program-cache entry (no retrace — this is what
+    keeps the persistent compile cache valid across milestones)."""
     from red_diffeq_tpu.models.diffusion import GaussianDiffusion
     from red_diffeq_tpu.models.unet import Unet
 
@@ -211,9 +213,38 @@ def test_program_cache_invalidated_on_params_swap():
                               reg_lambda=1.0, key=jax.random.PRNGKey(3),
                               progress=False)
 
+    n_entries = len(engine._program_cache)
     diffusion.init_params(jax.random.PRNGKey(42))  # swap weights
     mu_b, _ = engine.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
                               reg_lambda=1.0, key=jax.random.PRNGKey(3),
                               progress=False)
     # different prior weights -> different RED score -> different result
     assert not np.allclose(np.asarray(mu_a), np.asarray(mu_b))
+    # ... through the SAME compiled program
+    assert len(engine._program_cache) == n_entries
+
+
+def test_warm_compile_matches_dispatch_program():
+    """warm_compile() AOT-compiles the exact scan program optimize()
+    dispatches: same cache entry, and a subsequent optimize() reuses it
+    (no new entry) and produces a normal result."""
+    from red_diffeq_tpu.models.diffusion import GaussianDiffusion
+    from red_diffeq_tpu.models.unet import Unet
+
+    op, v_true, y, mu0 = _mini_problem(n=16, nt=40)
+    model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    diffusion = GaussianDiffusion(model, image_size=18, timesteps=20,
+                                  objective='pred_noise')
+    diffusion.init_params(jax.random.PRNGKey(0))
+    engine = InversionEngine(diffusion_model=diffusion,
+                             regularization='diffusion')
+    exe = engine.warm_compile(mu0.shape, y.shape, op, ts=2, lr=0.05,
+                              reg_lambda=1.0)
+    assert exe is not None
+    assert len(engine._program_cache) == 1
+    mu, pm = engine.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
+                             reg_lambda=1.0, key=jax.random.PRNGKey(3),
+                             progress=False)
+    assert len(engine._program_cache) == 1
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert len(pm[0]['ssim']) == 2
