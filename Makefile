@@ -1,6 +1,8 @@
 # Common workflows for red-diffeq-tpu.
 
-.PHONY: install test test-tpu bench datagen pretrain quality compare
+.PHONY: install test test-tpu bench datagen pretrain quality compare \
+  quality-marmousi quality-corrupted scaling milestone-eval \
+  synthetic-stats notebooks prewarm
 
 install:
 	pip install -e . --no-deps --no-build-isolation
@@ -35,3 +37,29 @@ scaling:
 
 compare:
 	python tools/compare_methods.py --n 4 --out BENCHMARKS.md
+
+quality-corrupted:
+	python tools/eval_quality.py --n 4 --ts 300 --noise_std 0.05 \
+	  --missing_number 10 --obs refined --out QUALITY_corrupted.md
+
+# Inversion quality per prior-training milestone + loss-curve summary
+milestone-eval:
+	python tools/milestone_eval.py --out docs/milestone_eval.md
+
+# Generator statistics vs the reference-verifiable OpenFWI constraints
+synthetic-stats:
+	python tools/synthetic_stats.py --out docs/synthetic_data_stats.md
+
+# AOT-compile the eval/bench programs (no chip dispatch; safe while
+# the accelerator is busy pretraining)
+prewarm:
+	python tools/prewarm_compile.py --batches 4 --ts 300
+	python tools/prewarm_compile.py --batches 2 --ts 300 --grid 190 \
+	  --height 70 --regs diffusion tv l2 none
+
+# Execute the example notebooks in-place (captures outputs = golden runs)
+notebooks:
+	jupyter nbconvert --to notebook --execute --inplace \
+	  --ExecutePreprocessor.timeout=3600 examples/example_openfwi.ipynb
+	jupyter nbconvert --to notebook --execute --inplace \
+	  --ExecutePreprocessor.timeout=3600 examples/example_marmousi.ipynb

@@ -9,7 +9,12 @@ captured number is ~675.6 s/sample at batch 1 on an unspecified CUDA GPU
 Prints ONE JSON line:
   {"metric": ..., "value": seconds_per_sample, "unit": "s/sample",
    "vs_baseline": speedup_factor}
+
+``--repeat N`` times N runs after the warmup and reports the MEDIAN as
+the headline value plus min/max/spread_pct fields, so run-to-run
+variance (session/tunnel effects) is measured rather than asserted.
 """
+import argparse
 import json
 import time
 
@@ -22,7 +27,11 @@ BATCH = 4
 TS = 300
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--repeat', type=int, default=1,
+                    help='timed runs after warmup; median is the headline')
+    args = ap.parse_args(argv)
     from red_diffeq_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from red_diffeq_tpu.core.inversion import InversionEngine
@@ -83,11 +92,14 @@ def main():
         return per_model
 
     run(TS)                      # compile + warm run
-    t0 = time.time()
-    per_model = run(TS)          # timed run
-    elapsed = time.time() - t0
+    times = []
+    for _ in range(max(1, args.repeat)):
+        t0 = time.time()
+        per_model = run(TS)      # timed run
+        times.append(time.time() - t0)
 
-    s_per_sample = elapsed / BATCH
+    per_sample = sorted(t / BATCH for t in times)
+    s_per_sample = per_sample[len(per_sample) // 2]  # median
     final_ssim = float(np.mean([pm['ssim'][-1] for pm in per_model]))
     result = {
         'metric': 'openfwi_red_diffeq_inversion_time',
@@ -100,6 +112,14 @@ def main():
         'final_ssim_synthetic': round(final_ssim, 4),
         'obs': 'refined_dt/2_dx/2',
     }
+    if len(per_sample) > 1:
+        result.update({
+            'repeats': len(per_sample),
+            'min': round(per_sample[0], 3),
+            'max': round(per_sample[-1], 3),
+            'spread_pct': round(100.0 * (per_sample[-1] - per_sample[0])
+                                / s_per_sample, 1),
+        })
     print(json.dumps(result))
 
 

@@ -20,7 +20,14 @@ def load_velocity_datasets(data_dir: Path, families=None, split: float = 0.9):
     (reference diffusion_train.py:22-56)."""
     files = sorted(Path(data_dir).glob('*.npy'))
     if families:
-        wanted = {f if f.endswith('.npy') else f + '.npy' for f in families}
+        # The reference uses '_b'-suffixed family names (CurveVel_b, ...);
+        # red-diffeq-datagen emits unsuffixed files (CurveVel.npy).
+        # Accept either spelling against either layout.
+        def _stems(f):
+            stem = f[:-4] if f.endswith('.npy') else f
+            base = stem[:-2] if stem.endswith('_b') else stem
+            return {base, base + '_b'}
+        wanted = {s + '.npy' for f in families for s in _stems(f)}
         files = [f for f in files if f.name in wanted]
     if not files:
         raise FileNotFoundError(f'no velocity .npy files in {data_dir}')

@@ -98,13 +98,6 @@ class InversionEngine:
         # constants (the CLI calls optimize once per batch).
         self._program_cache = {}
 
-    def _build_reg_fn(self, regularization: Optional[str]) -> RegFn:
-        return make_reg_fn(
-            regularization, self.diffusion_model,
-            getattr(self.diffusion_model, 'apply_fn', None),
-            use_time_weight=self.use_time_weight,
-            fixed_timestep=self.fixed_timestep)
-
     @staticmethod
     def _operator_key(fwi_forward):
         """Stable operator identity: physics/backend contents for
@@ -129,9 +122,18 @@ class InversionEngine:
         program serves any checkpoint, which keeps JAX's persistent
         compilation cache valid across pretraining milestones and EMA
         exports."""
+        # The diffusion bundle itself is part of the key: replacing
+        # ``engine.diffusion_model`` wholesale must invalidate cached
+        # programs (their closures capture the old bundle's schedule and
+        # architecture). Holding the object — not id() — keeps it alive,
+        # so a recycled id can never alias a stale program. In-place
+        # ``params`` swaps on the SAME bundle still hit the cache, which
+        # is correct because params are a traced argument.
         cache_key = (reg_name, ts, float(lr), float(reg_lambda),
                      float(self.sigma_x0), use_scan, tuple(mu_shape),
-                     tuple(y_shape), self._operator_key(fwi_forward))
+                     tuple(y_shape), self._operator_key(fwi_forward),
+                     self.diffusion_model if reg_name == 'diffusion'
+                     else None)
         entry = self._program_cache.get(cache_key)
         if entry is not None:
             return entry
@@ -152,8 +154,16 @@ class InversionEngine:
             inputs."""
             if is_diffusion and diffusion is not None:
                 diffusion.params = params
+            # Build the reg fn from the CAPTURED bundle, never from
+            # self.diffusion_model: re-reading self here would bake a
+            # later-assigned model's params in as constants while the
+            # traced ``params`` argument swaps tracers into the old one.
+            reg_fn = make_reg_fn(
+                reg_name, diffusion, getattr(diffusion, 'apply_fn', None),
+                use_time_weight=self.use_time_weight,
+                fixed_timestep=self.fixed_timestep)
             return make_inversion_step(
-                fwi_fn, self._build_reg_fn(reg_name), optimizer,
+                fwi_fn, reg_fn, optimizer,
                 reg_lambda, self.sigma_x0, is_diffusion)
 
         def with_params(params, go):
@@ -204,7 +214,12 @@ class InversionEngine:
         mask = jax.ShapeDtypeStruct(tuple(y_shape), f32)
         b, _, hp2, wp2 = mu_shape
         mu_true = jax.ShapeDtypeStruct((b, 1, hp2 - 2, wp2 - 2), f32)
-        keys = jax.ShapeDtypeStruct((ts, 2), jnp.uint32)
+        # Derive the step-keys aval from the ACTIVE PRNG implementation:
+        # under typed keys (jax.random.key / custom PRNG) the split
+        # signature differs from the old-style (ts, 2) uint32, and a
+        # hardcoded aval would AOT-compile a program dispatch never hits.
+        keys = jax.eval_shape(lambda k: jax.random.split(k, ts),
+                              jax.eval_shape(jax.random.PRNGKey, 0))
         if is_diffusion:
             src = (params_template if params_template is not None
                    else self.diffusion_model.params)

@@ -15,9 +15,12 @@ periodic EMA sampling. TPU-first differences:
 * mixed precision is bf16 on the model forward (optional), schedule math
   stays fp32; no loss-scaler needed (bf16 has fp32 range);
 * checkpoints are flax-serialized state dicts (not pickled torch
-  modules). FID evaluation is not implemented (the reference's optional
-  torchvision-inception FID is out of scope on TPU); sample grids are
-  saved as .npy.
+  modules); sample grids are saved as .npy;
+* FID is an inception-free proxy (``calculate_fid=True``): Fréchet
+  distance in a frozen seed-stable conv feature space (see
+  ``_fid_features``) — comparable across milestones AND across runs,
+  unlike the reference's torchvision-inception FID which is
+  unavailable on this stack.
 """
 import json
 import time
@@ -43,6 +46,44 @@ class EMAConfig:
     update_after_step: int = 100
     inv_gamma: float = 1.0
     power: float = 2.0 / 3.0
+
+
+_FROZEN_FEATURE_SEED = 0x5EED
+_FROZEN_FEATURE_CHANNELS = (16, 32, 64, 128)
+_frozen_weights_cache = None
+
+
+def _frozen_feature_weights():
+    """Deterministic weights for the frozen FID feature extractor: 3x3
+    stride-2 conv stack, orthogonal-ish He init from a FIXED seed. Random
+    conv features are a known-usable FID space for non-natural images
+    (seed-stable -> scores comparable across runs, priors, machines)."""
+    global _frozen_weights_cache
+    if _frozen_weights_cache is None:
+        key = jax.random.PRNGKey(_FROZEN_FEATURE_SEED)
+        ws = []
+        c_in = 1
+        for c_out in _FROZEN_FEATURE_CHANNELS:
+            key, sub = jax.random.split(key)
+            fan_in = 3 * 3 * c_in
+            w = jax.random.normal(sub, (3, 3, c_in, c_out),
+                                  jnp.float32) * np.sqrt(2.0 / fan_in)
+            ws.append(w)
+            c_in = c_out
+        _frozen_weights_cache = tuple(ws)
+    return _frozen_weights_cache
+
+
+@jax.jit
+def _frozen_feature_apply(ws, x):
+    """(N, H, W, 1) in [-1, 1] -> (N, 128): stride-2 convs + leaky-relu,
+    global mean pool."""
+    for w in ws:
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding='SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x = jax.nn.leaky_relu(x, 0.2)
+    return x.mean(axis=(1, 2))
 
 
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
@@ -171,9 +212,9 @@ class Trainer:
         self.amp = amp
         # Sample-quality metric (reference models/diffusion.py:603-607
         # gates an optional torchvision-inception FID). TPU-native proxy:
-        # Fréchet distance on the EMA denoiser's own bottleneck features
-        # (inception-free; comparable across milestones of one run, NOT
-        # across different priors).
+        # Fréchet distance in a FROZEN seed-stable random-conv feature
+        # space (inception-free; comparable across milestones AND across
+        # runs/priors — see _fid_features).
         self.calculate_fid = calculate_fid
         self.num_fid_samples = num_fid_samples
         self.fid_scores = []
@@ -374,22 +415,24 @@ class Trainer:
                 self._sample_and_save(milestone)
         print('training complete')
 
-    def _bottleneck_features(self, params, images) -> np.ndarray:
-        """(N, C, H, W) in [0, 1] -> (N, D) spatially-pooled activations of
-        the U-Net's deepest block, used as the FID feature space."""
-        model = self.diffusion.model
-        x = self.diffusion.normalize(jnp.asarray(images, jnp.float32))
-        t = jnp.zeros((x.shape[0],), jnp.float32)
-        _, state = model.apply(
-            {'params': params}, x, t,
-            capture_intermediates=lambda mdl, _: mdl.name == 'mid_block2',
-            mutable=['intermediates'])
-        feats = state['intermediates']['mid_block2']['__call__'][0]
-        return np.asarray(feats.mean(axis=(1, 2)))     # NHWC -> pool H,W
+    def _fid_features(self, images) -> np.ndarray:
+        """(N, C, H, W) in [0, 1] -> (N, 128) features from a FROZEN
+        seed-stable random conv net (4 stride-2 conv + leaky-relu layers,
+        global mean pool). The weights derive from a fixed PRNG seed —
+        identical on every run and machine — so Fréchet scores are
+        comparable ACROSS runs and priors, unlike the r2 proxy that used
+        the EMA denoiser's own bottleneck (self-referential: scoring the
+        generator with its own features)."""
+        ws = _frozen_feature_weights()
+        x = jnp.asarray(images, jnp.float32) * 2.0 - 1.0   # [0,1]->[-1,1]
+        x = jnp.transpose(x, (0, 2, 3, 1))                  # NCHW -> NHWC
+        feats = _frozen_feature_apply(ws, x)
+        return np.asarray(feats)
 
     def _fid_score(self, milestone) -> float:
-        """Fréchet distance between generated and real samples in the EMA
-        denoiser's bottleneck feature space (inception-free FID proxy)."""
+        """Fréchet distance between generated and real samples in a frozen
+        seed-stable conv feature space (inception-free, cross-run
+        comparable FID proxy)."""
         n = self.num_fid_samples
         ema = self.diffusion.with_params(self.ema_params)
         gen, done = [], 0
@@ -400,11 +443,11 @@ class Trainer:
             done += k
         gen = np.concatenate(gen)
         real = self.dataset.sample_batch(self._np_rng, n)
-        f_gen = self._bottleneck_features(self.ema_params, gen)
-        f_real = self._bottleneck_features(self.ema_params, real)
+        f_gen = self._fid_features(gen)
+        f_real = self._fid_features(real)
         score = frechet_distance(f_gen, f_real)
         self.fid_scores.append({'step': self.step, 'milestone': milestone,
-                                'fid_unet': score})
+                                'fid_frozen': score})
         with open(self.results_folder / 'fid_scores.json', 'w') as f:
             json.dump(self.fid_scores, f, indent=2)
         return score
@@ -417,5 +460,6 @@ class Trainer:
                 np.asarray(samples))
         if self.calculate_fid:
             score = self._fid_score(milestone)
-            print(f'milestone {milestone}: fid_unet {score:.4f}', flush=True)
+            print(f'milestone {milestone}: fid_frozen {score:.4f}',
+                  flush=True)
         self.save(milestone)

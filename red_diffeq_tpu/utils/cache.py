@@ -21,5 +21,9 @@ def enable_persistent_cache(path: str = None) -> str:
                  or os.path.expanduser(_DEFAULT))
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    # Respect a user-set threshold (mirrors the cache-dir handling above);
+    # only drop the default so small programs are cached too.
+    if 'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS' not in os.environ:
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          0.5)
     return cache_dir

@@ -248,3 +248,40 @@ def test_warm_compile_matches_dispatch_program():
     assert len(engine._program_cache) == 1
     assert np.all(np.isfinite(np.asarray(mu)))
     assert len(pm[0]['ssim']) == 2
+
+
+def test_program_cache_invalidates_on_model_replacement():
+    """Replacing engine.diffusion_model WHOLESALE (a new bundle object,
+    e.g. a different architecture/schedule) must create a NEW program —
+    the cached closure captures the old bundle. A cache hit here would
+    silently keep using the old schedule, and with different param
+    shapes the traced params argument would be ignored entirely
+    (advisor finding r2, core/inversion.py cache_key)."""
+    from red_diffeq_tpu.models.diffusion import GaussianDiffusion
+    from red_diffeq_tpu.models.unet import Unet
+
+    op, v_true, y, mu0 = _mini_problem(n=16, nt=40)
+    model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    diff_a = GaussianDiffusion(model, image_size=18, timesteps=20,
+                               objective='pred_noise')
+    diff_a.init_params(jax.random.PRNGKey(0))
+    engine = InversionEngine(diffusion_model=diff_a,
+                             regularization='diffusion')
+    mu_a, _ = engine.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
+                              reg_lambda=1.0, key=jax.random.PRNGKey(3),
+                              progress=False)
+    assert len(engine._program_cache) == 1
+
+    # New bundle: different timesteps (schedule) AND different param
+    # shapes (dim 16 vs 8) — both would corrupt a stale-program hit.
+    model_b = Unet(dim=16, dim_mults=(1, 2), channels=1)
+    diff_b = GaussianDiffusion(model_b, image_size=18, timesteps=10,
+                               objective='pred_noise')
+    diff_b.init_params(jax.random.PRNGKey(1))
+    engine.diffusion_model = diff_b
+    mu_b, _ = engine.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
+                              reg_lambda=1.0, key=jax.random.PRNGKey(3),
+                              progress=False)
+    assert len(engine._program_cache) == 2
+    assert not np.allclose(np.asarray(mu_a), np.asarray(mu_b))
+    assert np.all(np.isfinite(np.asarray(mu_b)))

@@ -113,3 +113,40 @@ def test_bf16_distinguishes_adjacent_timesteps(tiny):
     out_a = d16.apply_fn(x, jnp.array([999.0]))
     out_b = d16.apply_fn(x, jnp.array([998.0]))
     assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_family_alias_resolution(tmp_path):
+    """--families accepts both the reference's '_b'-suffixed names and
+    the unsuffixed names red-diffeq-datagen emits, against either file
+    layout (README/datagen naming mismatch, VERDICT r2 #6)."""
+    from red_diffeq_tpu.cli.diffusion_train import load_velocity_datasets
+
+    d = tmp_path / 'vel'
+    d.mkdir()
+    arr = np.zeros((10, 1, 4, 4), np.float32)
+    np.save(d / 'CurveVel.npy', arr)
+    np.save(d / 'FlatFault_b.npy', arr + 1)
+    for fams, expect in [(['CurveVel'], 0.0), (['CurveVel_b'], 0.0),
+                         (['FlatFault'], 1.0), (['FlatFault_b'], 1.0)]:
+        tr, va = load_velocity_datasets(d, fams)
+        assert len(tr) == 9 and len(va) == 1, fams
+        assert float(tr[0].max()) == expect, fams
+    tr, _ = load_velocity_datasets(d, ['CurveVel_b', 'FlatFault'])
+    assert len(tr) == 18
+
+
+def test_persistent_cache_respects_user_threshold(tmp_path, monkeypatch):
+    """enable_persistent_cache must not clobber a user-set
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS (advisor finding r2)."""
+    import jax
+
+    from red_diffeq_tpu.utils.cache import enable_persistent_cache
+
+    monkeypatch.setenv('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '7')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 7.0)
+    enable_persistent_cache(str(tmp_path / 'c1'))
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 7.0
+
+    monkeypatch.delenv('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS')
+    enable_persistent_cache(str(tmp_path / 'c2'))
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.5

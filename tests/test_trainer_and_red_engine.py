@@ -160,10 +160,12 @@ def test_image_folder_dataset(tmp_path):
 
 
 def test_frechet_distance_and_trainer_fid(tmp_path):
-    """fid_unet: 0 for identical sets, grows with distribution shift;
-    the trainer writes fid_scores.json at each milestone."""
+    """fid_frozen: 0 for identical sets, grows with distribution shift;
+    the trainer writes fid_scores.json at each milestone; the frozen
+    feature extractor is seed-stable (identical weights every call)."""
     from red_diffeq_tpu.models.trainer import (
-        TensorDataset, Trainer, frechet_distance,
+        TensorDataset, Trainer, _frozen_feature_apply,
+        _frozen_feature_weights, frechet_distance,
     )
 
     rng = np.random.RandomState(0)
@@ -183,4 +185,17 @@ def test_frechet_distance_and_trainer_fid(tmp_path):
     tr.train(log_every=1000)
     scores = json.loads((tmp_path / 'fid_scores.json').read_text())
     assert len(scores) == 1
-    assert np.isfinite(scores[0]['fid_unet'])
+    assert np.isfinite(scores[0]['fid_frozen'])
+
+    # Frozen extractor is deterministic: same weights, same features,
+    # and discriminative: shifted images score a larger Fréchet distance.
+    ws1 = _frozen_feature_weights()
+    imgs = jnp.asarray(rng.rand(16, 16, 16, 1).astype(np.float32))
+    f1 = np.asarray(_frozen_feature_apply(ws1, imgs))
+    f2 = np.asarray(_frozen_feature_apply(_frozen_feature_weights(), imgs))
+    np.testing.assert_array_equal(f1, f2)
+    f_shift = np.asarray(_frozen_feature_apply(ws1, imgs * 0.2 + 0.5))
+    d_same = frechet_distance(f1.astype(np.float64), f2.astype(np.float64))
+    d_diff = frechet_distance(f1.astype(np.float64),
+                              f_shift.astype(np.float64))
+    assert d_diff > d_same

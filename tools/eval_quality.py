@@ -40,10 +40,14 @@ def main(argv=None):
                         "bound); 'refined' = dt/2 + dx/2 grid (honest "
                         "forward-model mismatch)")
     p.add_argument('--regs', type=str, nargs='+',
+                   choices=['none', 'tv', 'l2', 'diffusion'],
                    default=['none', 'tv', 'l2', 'diffusion'],
                    help='regularizations to evaluate (each one is its own '
                         'compiled program — trim on slow-compile hosts)')
     p.add_argument('--out', type=Path, default=None)
+    p.add_argument('--save_curves', type=Path, default=None,
+                   help='directory for per-step metric curves '
+                        '(<obs>_<reg>.npz), e.g. for golden-run pinning')
     args = p.parse_args(argv)
 
     from red_diffeq_tpu.utils.cache import enable_persistent_cache
@@ -101,6 +105,14 @@ def main(argv=None):
             lam = lambdas[reg]
             engine = InversionEngine(diffusion, regularization=reg,
                                      sigma_x0=1e-4)
+            # AOT-prewarm so the timed run measures execution only —
+            # compilation (minutes for the first configuration of a
+            # session) would otherwise be amortized into whichever row
+            # happens to run first.
+            engine.warm_compile(
+                mu0.shape, y.shape, op, ts=args.ts, lr=0.03,
+                reg_lambda=lam,
+                regularization=None if reg == 'none' else reg)
             t0 = time.time()
             _, per_model = engine.optimize(
                 mu0, v_true_j, y, op, ts=args.ts, lr=0.03, reg_lambda=lam,
@@ -121,6 +133,13 @@ def main(argv=None):
                 'seconds_per_sample': round(dt / args.n, 2),
             }
             results[f'{obs_name}/{reg}'] = final
+            if args.save_curves is not None:
+                args.save_curves.mkdir(parents=True, exist_ok=True)
+                np.savez(args.save_curves / f'{obs_name}_{reg}.npz',
+                         **{k: np.asarray([pm[k] for pm in per_model])
+                            for k in ('mae', 'rmse', 'ssim',
+                                      'total_losses', 'obs_losses',
+                                      'reg_losses')})
             print(f'{obs_name:8s} {reg:10s} MAE {final["MAE"]:.4f}  '
                   f'RMSE {final["RMSE"]:.4f}  SSIM {final["SSIM"]:.4f}  '
                   f'({final["seconds_per_sample"]} s/sample)', flush=True)
@@ -147,6 +166,15 @@ def main(argv=None):
             lines.append(f'| {obs_name} | {reg} | {r["MAE"]:.4f} | '
                          f'{r["RMSE"]:.4f} | {r["SSIM"]:.4f} | '
                          f'{r["seconds_per_sample"]} |')
+        lines += [
+            '',
+            'Timing note: each configuration is AOT-prewarmed '
+            '(`warm_compile`) before its timed run, so s/sample measures '
+            'execution only — compilation (minutes for the first program '
+            'of a session; cached persistently afterwards) is excluded '
+            'from every row.',
+            f'Prior checkpoint: `{args.ckpt}`.',
+        ]
         args.out.write_text('\n'.join(lines) + '\n')
         print(f'wrote {args.out}')
 

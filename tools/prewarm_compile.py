@@ -23,7 +23,12 @@ def main(argv=None):
     p.add_argument('--regs', type=str, nargs='+',
                    default=['diffusion', 'tv', 'l2', 'none'])
     p.add_argument('--nt', type=int, default=1000)
-    p.add_argument('--grid', type=int, default=70)
+    p.add_argument('--grid', type=int, default=70,
+                   help='model width (= receiver spread)')
+    p.add_argument('--height', type=int, default=None,
+                   help='model height (depth rows); default = --grid. '
+                        'Set 70 with --grid 190 for the Marmousi shape '
+                        '(patched RED program)')
     args = p.parse_args(argv)
 
     from red_diffeq_tpu.utils.cache import enable_persistent_cache
@@ -40,6 +45,7 @@ def main(argv=None):
     )
 
     n = args.grid
+    h = args.height if args.height is not None else n
     ctx = dict(n_grid=n, nt=args.nt, dx=10.0, dt=0.001, nbc=120, f=15.0,
                sz=10, gz=10, ng=n, ns=5)
     backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
@@ -48,18 +54,20 @@ def main(argv=None):
                     chunk=20)
 
     model = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1)
-    diffusion = GaussianDiffusion(model, image_size=n + 2,
+    # Patch size is always 72 (the prior's native resolution); wide
+    # models route through the patched RED path automatically.
+    diffusion = GaussianDiffusion(model, image_size=72,
                                   timesteps=1000, sampling_timesteps=250,
                                   objective='pred_noise')
     # Params tree STRUCTURE only — nothing is initialized or transferred.
     params_sds = jax.eval_shape(
-        lambda k: model.init(k, jnp.zeros((1, 1, n + 2, n + 2)),
+        lambda k: model.init(k, jnp.zeros((1, 1, 72, 72)),
                              jnp.zeros((1,)))['params'],
         jax.random.PRNGKey(0))
 
     lambdas = {'diffusion': 0.75, 'tv': 0.01, 'l2': 0.01, 'none': 0.0}
     for b in args.batches:
-        mu_shape = (b, 1, n + 2, n + 2)
+        mu_shape = (b, 1, h + 2, n + 2)
         y_shape = (b, 5, args.nt, n)
         for ts in args.ts:
             for reg in args.regs:
