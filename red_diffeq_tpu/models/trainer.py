@@ -350,14 +350,22 @@ class Trainer:
         with open(path, 'rb') as f:
             state = serialization.from_bytes(template, f.read())
         self.step = int(state['step'])
-        self.params = state['params']
-        self.ema_params = state['ema_params']
-        self.opt_state = state['opt_state']
         losses_file = self.results_folder / f'training_losses-{milestone}.json'
         if losses_file.exists():
             self.training_losses = json.loads(
                 losses_file.read_text()).get('losses', [])
-        print(f"loading from version {state['version']}")
+        print(f"loading from version {state['version']}", flush=True)
+        # Move the restored (numpy) state to device EXPLICITLY and block:
+        # leaving it implicit makes the first train dispatch absorb the
+        # ~570 MB transfer plus the backend's one-time first-dispatch
+        # warmup — on a remote-tunneled device that is many minutes of
+        # apparent freeze with no log output (observed: >8 min).
+        t0 = time.time()
+        self.params, self.ema_params, self.opt_state = jax.device_put(
+            (state['params'], state['ema_params'], state['opt_state']))
+        jax.block_until_ready(self.opt_state)
+        print(f'resume state on device in {time.time() - t0:.0f}s',
+              flush=True)
 
     # -- loop ------------------------------------------------------------
 
