@@ -191,7 +191,8 @@ class Trainer:
                  amp: bool = False, max_grad_norm: float = 1.0,
                  seed: int = 0, data_parallel: bool = True,
                  keep_last_checkpoints: int = 0,
-                 calculate_fid: bool = False, num_fid_samples: int = 64):
+                 calculate_fid: bool = False, num_fid_samples: int = 64,
+                 device_data: bool = True):
         assert train_batch_size * gradient_accumulate_every >= 16, \
             'effective batch size should be at least 16'
         assert int(num_samples ** 0.5) ** 2 == num_samples, \
@@ -243,6 +244,22 @@ class Trainer:
 
         self._train_step = jax.jit(self._make_train_step())
         self._train_multi = jax.jit(self._make_train_multi())
+        # Device-resident data: an in-memory TensorDataset that fits in
+        # HBM is transferred ONCE and batches are gathered on device from
+        # int32 indices — the host path would otherwise stream
+        # ~B*H*W*4 bytes per step through the (slow, ~85 MB/s when
+        # tunneled) host->device link, which measured as the training
+        # bottleneck (2 steps/s host-bound vs chip-bound after).
+        self._data_dev = None
+        # Single-device only: under data-parallel sharding the batch
+        # stream keeps the host path (its P(None, 'data') placement);
+        # replicating the dataset per device would multiply HBM use.
+        self._device_data = (
+            device_data and isinstance(dataset, TensorDataset)
+            and self._sharding is None
+            and dataset.data.nbytes <= 4 * 1024**3)
+        if self._device_data:
+            self._train_multi_idx = jax.jit(self._make_train_multi_idx())
 
     # -- jitted step -----------------------------------------------------
 
@@ -313,6 +330,33 @@ class Trainer:
             (params, opt_state, ema_params, step), losses = jax.lax.scan(
                 body, (params, opt_state, ema_params, step),
                 (batches_stack, keys))
+            return params, opt_state, ema_params, step, losses
+
+        return multi
+
+    def _make_train_multi_idx(self):
+        """Like _make_train_multi, but batches are GATHERED ON DEVICE
+        from the resident dataset by an (K, grad_accum, B) int32 index
+        stack — per-call host->device traffic is ~KB instead of
+        ~K*accum*B*H*W*4 bytes."""
+        step_fn = self._make_train_step()
+
+        def multi(params, opt_state, ema_params, step, idx_stack, key,
+                  data):
+            keys = jax.random.split(key, idx_stack.shape[0])
+
+            def body(carry, xs):
+                params, opt_state, ema_params, step = carry
+                idx, k = xs
+                batches = jnp.take(data, idx.reshape(-1), axis=0)
+                batches = batches.reshape(idx.shape + data.shape[1:])
+                params, opt_state, ema_params, step, loss = step_fn(
+                    params, opt_state, ema_params, step, batches, k)
+                return (params, opt_state, ema_params, step), loss
+
+            (params, opt_state, ema_params, step), losses = jax.lax.scan(
+                body, (params, opt_state, ema_params, step),
+                (idx_stack, keys))
             return params, opt_state, ema_params, step, losses
 
         return multi
@@ -392,8 +436,26 @@ class Trainer:
         """(grad_accum, B, C, H, W) micro-batch stack, device-sharded."""
         return self._put(self._next_batches_np(), scan_axis=False)
 
+    def _next_idx_np(self, k: int) -> np.ndarray:
+        """(k, grad_accum, B) int32 batch indices — the SAME rng call
+        sequence as sample_batch, so device-resident and host-streamed
+        runs follow identical training trajectories."""
+        n = len(self.dataset)
+        return np.stack([
+            np.stack([self._np_rng.randint(0, n, size=self.batch_size)
+                      for _ in range(self.grad_accum)])
+            for _ in range(k)]).astype(np.int32)
+
     def train(self, log_every: int = 100, steps_per_call: int = 20):
         t0 = time.time()
+        step0 = self.step  # rate must not credit pre-resume steps
+        if self._device_data and self._data_dev is None:
+            tput = time.time()
+            self._data_dev = self._put(self.dataset.data, scan_axis=False)
+            jax.block_until_ready(self._data_dev)
+            print(f'dataset resident on device '
+                  f'({self.dataset.data.nbytes / 1e9:.2f} GB '
+                  f'in {time.time() - tput:.0f}s)', flush=True)
         while self.step < self.train_num_steps:
             # How many steps until the next milestone boundary?
             to_milestone = self.save_and_sample_every - (
@@ -401,20 +463,27 @@ class Trainer:
             k = min(steps_per_call, self.train_num_steps - self.step,
                     to_milestone)
             self._key, sub = jax.random.split(self._key)
-            batches_stack = self._put(
-                np.stack([self._next_batches_np() for _ in range(k)]),
-                scan_axis=True)
-            (self.params, self.opt_state, self.ema_params, new_step,
-             losses) = self._train_multi(self.params, self.opt_state,
-                                         self.ema_params, self.step,
-                                         batches_stack, sub)
+            if self._device_data:
+                (self.params, self.opt_state, self.ema_params, new_step,
+                 losses) = self._train_multi_idx(
+                    self.params, self.opt_state, self.ema_params,
+                    self.step, jnp.asarray(self._next_idx_np(k)), sub,
+                    self._data_dev)
+            else:
+                batches_stack = self._put(
+                    np.stack([self._next_batches_np() for _ in range(k)]),
+                    scan_axis=True)
+                (self.params, self.opt_state, self.ema_params, new_step,
+                 losses) = self._train_multi(self.params, self.opt_state,
+                                             self.ema_params, self.step,
+                                             batches_stack, sub)
             losses = np.asarray(losses)
             for i, lv in enumerate(losses):
                 self.training_losses.append({'step': self.step + i,
                                              'loss': float(lv)})
             self.step = int(new_step)
             if self.step % log_every < k:
-                rate = self.step / (time.time() - t0)
+                rate = (self.step - step0) / (time.time() - t0)
                 print(f'step {self.step}/{self.train_num_steps} '
                       f'loss {float(losses[-1]):.4f} '
                       f'({rate:.1f} steps/s)', flush=True)

@@ -199,3 +199,39 @@ def test_frechet_distance_and_trainer_fid(tmp_path):
     d_diff = frechet_distance(f1.astype(np.float64),
                               f_shift.astype(np.float64))
     assert d_diff > d_same
+
+
+def test_device_resident_data_matches_host_stream(tmp_path):
+    """The device-resident index-gather path must follow the IDENTICAL
+    training trajectory as the host-streamed batch path (same rng call
+    sequence, same losses, same final params)."""
+    from red_diffeq_tpu.models.trainer import TensorDataset, Trainer
+
+    rng = np.random.RandomState(0)
+    data = rng.rand(64, 1, 16, 16).astype(np.float32)
+
+    def build(device_data):
+        model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+        diff = GaussianDiffusion(model, image_size=16, timesteps=10,
+                                 sampling_timesteps=4,
+                                 objective='pred_noise')
+        return Trainer(diff, TensorDataset(data), train_batch_size=16,
+                       train_num_steps=6, save_and_sample_every=6,
+                       num_samples=4, results_folder=str(tmp_path / 'a'),
+                       data_parallel=False, seed=3,
+                       device_data=device_data)
+
+    tr_dev = build(True)
+    assert tr_dev._device_data
+    tr_dev.train(log_every=1000, steps_per_call=3)
+    tr_host = build(False)
+    assert not tr_host._device_data
+    tr_host.train(log_every=1000, steps_per_call=3)
+
+    l_dev = [e['loss'] for e in tr_dev.training_losses]
+    l_host = [e['loss'] for e in tr_host.training_losses]
+    np.testing.assert_allclose(l_dev, l_host, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        tr_dev.params, tr_host.params)
