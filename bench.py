@@ -29,8 +29,11 @@ TS = 300
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument('--repeat', type=int, default=1,
-                    help='timed runs after warmup; median is the headline')
+    ap.add_argument('--repeat', type=int, default=3,
+                    help='timed runs after warmup; median is the '
+                         'headline, min/max/spread are reported so '
+                         'run-to-run variance is measured (default 3 '
+                         'adds ~1 min total)')
     args = ap.parse_args(argv)
     from red_diffeq_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
