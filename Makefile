@@ -50,6 +50,10 @@ milestone-eval:
 synthetic-stats:
 	python tools/synthetic_stats.py --out docs/synthetic_data_stats.md
 
+# Attribute headline-bench drift: device-only scan vs end-to-end time
+drift-probe:
+	python tools/drift_probe.py --repeat 3 --out docs/perf_split.md
+
 # AOT-compile the eval/bench programs (no chip dispatch; safe while
 # the accelerator is busy pretraining)
 prewarm:

@@ -13,6 +13,8 @@ Prints ONE JSON line:
 ``--repeat N`` times N runs after the warmup and reports the MEDIAN as
 the headline value plus min/max/spread_pct fields, so run-to-run
 variance (session/tunnel effects) is measured rather than asserted.
+``--batch B`` selects the batch size (amortizes fixed per-dispatch cost
+over more samples; see docs/scaling.md for the batch sweep).
 """
 import argparse
 import json
@@ -23,18 +25,15 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_S_PER_SAMPLE = 675.58
-BATCH = 4
+DEFAULT_BATCH = 4
 TS = 300
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--repeat', type=int, default=3,
-                    help='timed runs after warmup; median is the '
-                         'headline, min/max/spread are reported so '
-                         'run-to-run variance is measured (default 3 '
-                         'adds ~1 min total)')
-    args = ap.parse_args(argv)
+def build_workload(batch=DEFAULT_BATCH, ts=TS, prewarm=False):
+    """Build the exact headline workload: returns (engine, op, mu0,
+    v_true_j, y, run) where run(ts) executes one full inversion and
+    blocks. Shared with tools/drift_probe.py so the perf-drift split is
+    measured on the same program the headline reports."""
     from red_diffeq_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from red_diffeq_tpu.core.inversion import InversionEngine
@@ -71,7 +70,7 @@ def main(argv=None):
     from red_diffeq_tpu.io.synthetic import generate_mixed_dataset
     from red_diffeq_tpu.solvers.acoustic import refined_ctx, \
         upsample_velocity
-    v_true = generate_mixed_dataset(BATCH, seed=8888)
+    v_true = generate_mixed_dataset(batch, seed=8888)
     v_true_j = jnp.asarray(v_true)
     op_obs = FWIForward(refined_ctx(ctx, factor=2), sample_temporal=2,
                         normalize=True, v_denorm_func=v_denormalize,
@@ -81,18 +80,40 @@ def main(argv=None):
 
     init = np.concatenate([
         prepare_initial_model(v_true[b:b + 1], 'smoothed', sigma=10.0)
-        for b in range(BATCH)])
+        for b in range(batch)])
     mu0 = jnp.pad(jnp.asarray(init), ((0, 0), (0, 0), (1, 1), (1, 1)))
 
     engine = InversionEngine(diffusion, regularization='diffusion',
                              sigma_x0=1e-4)
+    if prewarm:
+        engine.warm_compile(mu0.shape, y.shape, op, ts=ts, lr=0.03,
+                            reg_lambda=0.75, regularization='diffusion')
 
-    def run(ts):
+    def run(ts=ts):
         mu, per_model = engine.optimize(
             mu0, v_true_j, y, op, ts=ts, lr=0.03, reg_lambda=0.75,
             key=jax.random.PRNGKey(8888), use_scan=True, progress=False)
         jax.block_until_ready(mu)
         return per_model
+
+    return engine, op, mu0, v_true_j, y, run, backend
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--repeat', type=int, default=3,
+                    help='timed runs after warmup; median is the '
+                         'headline, min/max/spread are reported so '
+                         'run-to-run variance is measured (default 3 '
+                         'adds ~1 min total)')
+    ap.add_argument('--batch', type=int, default=DEFAULT_BATCH,
+                    help='samples per inversion (fixed dispatch cost '
+                         'amortizes over the batch; docs/scaling.md has '
+                         'the sweep)')
+    args = ap.parse_args(argv)
+    batch = args.batch
+
+    _, _, _, _, _, run, backend = build_workload(batch=batch, ts=TS)
 
     run(TS)                      # compile + warm run
     times = []
@@ -101,7 +122,7 @@ def main(argv=None):
         per_model = run(TS)      # timed run
         times.append(time.time() - t0)
 
-    per_sample = sorted(t / BATCH for t in times)
+    per_sample = sorted(t / batch for t in times)
     s_per_sample = per_sample[len(per_sample) // 2]  # median
     final_ssim = float(np.mean([pm['ssim'][-1] for pm in per_model]))
     result = {
@@ -109,7 +130,7 @@ def main(argv=None):
         'value': round(s_per_sample, 3),
         'unit': 's/sample',
         'vs_baseline': round(BASELINE_S_PER_SAMPLE / s_per_sample, 2),
-        'batch': BATCH,
+        'batch': batch,
         'ts': TS,
         'backend': backend,
         'final_ssim_synthetic': round(final_ssim, 4),

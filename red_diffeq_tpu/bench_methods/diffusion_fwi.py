@@ -56,22 +56,31 @@ def split_data_to_patches(data: jax.Array, kernel_size, stride) -> jax.Array:
 def merge_patches_to_data(patches: jax.Array, output_size, kernel_size,
                           stride) -> jax.Array:
     """Overlap-average merge, inverse of :func:`split_data_to_patches`
-    (reference diffusionfwi.py:47-76; batch size 1 like the reference)."""
+    (reference diffusionfwi.py:47-76 — which hardcodes batch 1; here the
+    batch is recovered from the patch count so B>1 merges correctly)."""
     n, c, ph, pw = patches.shape
     h, w = output_size
     sh, sw = stride
     nh = (h - ph) // sh + 1
     nw = (w - pw) // sw + 1
-    merged = jnp.zeros((1, c, h, w), patches.dtype)
-    count = jnp.zeros((1, c, h, w), patches.dtype)
-    idx = 0
+    per_sample = nh * nw
+    if n % per_sample != 0:
+        raise ValueError(
+            f'{n} patches is not a multiple of the {per_sample} windows per '
+            f'sample for output {output_size} / kernel {kernel_size} / '
+            f'stride {stride}')
+    b = n // per_sample
+    merged = jnp.zeros((b, c, h, w), patches.dtype)
+    count = jnp.zeros((b, c, h, w), patches.dtype)
     for i in range(nh):
         for j in range(nw):
             ys, xs = i * sh, j * sw
-            merged = merged.at[:, :, ys:ys + ph, xs:xs + pw].add(
-                patches[idx:idx + 1])
+            # Window (i, j) of every sample: split emits index
+            # bi*per_sample + i*nw + j, so a stride-per_sample slice
+            # gathers that window across the batch.
+            win = patches[i * nw + j::per_sample]
+            merged = merged.at[:, :, ys:ys + ph, xs:xs + pw].add(win)
             count = count.at[:, :, ys:ys + ph, xs:xs + pw].add(1.0)
-            idx += 1
     return merged / jnp.clip(count, 1.0, None)
 
 

@@ -86,14 +86,20 @@ def _frozen_feature_apply(ws, x):
     return x.mean(axis=(1, 2))
 
 
-def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray,
+                     eps: float = 1e-6) -> float:
     """Fréchet distance between Gaussian fits of two feature sets
-    (N, D): |mu_a - mu_b|^2 + tr(S_a + S_b - 2 (S_a S_b)^{1/2})."""
+    (N, D): |mu_a - mu_b|^2 + tr(S_a + S_b - 2 (S_a S_b)^{1/2}).
+
+    ``eps`` regularizes the covariances (eps*I) — with N < D samples the
+    sample covariances are singular and sqrtm of their product can go
+    NaN/complex-unstable (standard FID implementations do the same)."""
     import scipy.linalg
 
     mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
-    s_a = np.cov(feats_a, rowvar=False)
-    s_b = np.cov(feats_b, rowvar=False)
+    offset = eps * np.eye(feats_a.shape[1])
+    s_a = np.cov(feats_a, rowvar=False) + offset
+    s_b = np.cov(feats_b, rowvar=False) + offset
     covmean = scipy.linalg.sqrtm(s_a @ s_b)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
@@ -192,7 +198,8 @@ class Trainer:
                  seed: int = 0, data_parallel: bool = True,
                  keep_last_checkpoints: int = 0,
                  calculate_fid: bool = False, num_fid_samples: int = 64,
-                 device_data: bool = True):
+                 device_data: bool = True,
+                 device_data_max_bytes: int = 4 * 1024**3):
         assert train_batch_size * gradient_accumulate_every >= 16, \
             'effective batch size should be at least 16'
         assert int(num_samples ** 0.5) ** 2 == num_samples, \
@@ -254,10 +261,14 @@ class Trainer:
         # Single-device only: under data-parallel sharding the batch
         # stream keeps the host path (its P(None, 'data') placement);
         # replicating the dataset per device would multiply HBM use.
+        # ``device_data_max_bytes`` bounds the dataset's HBM claim (the
+        # params/opt-state/activations share the same HBM — tune down on
+        # small-HBM or large-model configs); train() additionally falls
+        # back to the host path if the upload itself fails.
         self._device_data = (
             device_data and isinstance(dataset, TensorDataset)
             and self._sharding is None
-            and dataset.data.nbytes <= 4 * 1024**3)
+            and dataset.data.nbytes <= device_data_max_bytes)
         if self._device_data:
             self._train_multi_idx = jax.jit(self._make_train_multi_idx())
 
@@ -374,6 +385,16 @@ class Trainer:
         path = self.results_folder / f'model-{milestone}.ckpt'
         with open(path, 'wb') as f:
             f.write(serialization.to_bytes(state))
+        # RNG sidecar: the numpy batch-index stream and the JAX noise key
+        # must survive resume, or the run replays the constructor seed's
+        # sequence (re-showing early batches and breaking the
+        # device-data determinism story). Sidecar file (not in the
+        # ckpt dict) so older checkpoints keep loading.
+        mt = self._np_rng.get_state()
+        np.savez(self.results_folder / f'rng-{milestone}.npz',
+                 mt_keys=mt[1], mt_pos=mt[2], mt_has_gauss=mt[3],
+                 mt_cached=mt[4],
+                 jax_key=np.asarray(jax.random.key_data(self._key)))
         with open(self.results_folder
                   / f'training_losses-{milestone}.json', 'w') as f:
             json.dump({'step': self.step, 'milestone': milestone,
@@ -398,6 +419,24 @@ class Trainer:
         if losses_file.exists():
             self.training_losses = json.loads(
                 losses_file.read_text()).get('losses', [])
+        rng_file = self.results_folder / f'rng-{milestone}.npz'
+        if rng_file.exists():
+            d = np.load(rng_file)
+            self._np_rng.set_state(('MT19937', d['mt_keys'],
+                                    int(d['mt_pos']),
+                                    int(d['mt_has_gauss']),
+                                    float(d['mt_cached'])))
+            key_data = jnp.asarray(d['jax_key'])
+            if jnp.issubdtype(self._key.dtype, jax.dtypes.prng_key):
+                self._key = jax.random.wrap_key_data(key_data)
+            else:
+                self._key = key_data.astype(self._key.dtype)
+            print('restored RNG state (batch-index stream + noise key)',
+                  flush=True)
+        else:
+            print('warning: no RNG sidecar for this milestone — resumed '
+                  'run replays the constructor-seed batch/noise sequence',
+                  flush=True)
         print(f"loading from version {state['version']}", flush=True)
         # Move the restored (numpy) state to device EXPLICITLY and block:
         # leaving it implicit makes the first train dispatch absorb the
@@ -451,11 +490,19 @@ class Trainer:
         step0 = self.step  # rate must not credit pre-resume steps
         if self._device_data and self._data_dev is None:
             tput = time.time()
-            self._data_dev = self._put(self.dataset.data, scan_axis=False)
-            jax.block_until_ready(self._data_dev)
-            print(f'dataset resident on device '
-                  f'({self.dataset.data.nbytes / 1e9:.2f} GB '
-                  f'in {time.time() - tput:.0f}s)', flush=True)
+            try:
+                self._data_dev = self._put(self.dataset.data,
+                                           scan_axis=False)
+                jax.block_until_ready(self._data_dev)
+            except Exception as e:  # e.g. HBM OOM at upload
+                print(f'device-resident dataset upload failed ({e!r}); '
+                      f'falling back to host batch streaming', flush=True)
+                self._data_dev = None
+                self._device_data = False
+            else:
+                print(f'dataset resident on device '
+                      f'({self.dataset.data.nbytes / 1e9:.2f} GB '
+                      f'in {time.time() - tput:.0f}s)', flush=True)
         while self.step < self.train_num_steps:
             # How many steps until the next milestone boundary?
             to_milestone = self.save_and_sample_every - (

@@ -88,6 +88,21 @@ def test_patch_split_merge_roundtrip():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_patch_split_merge_roundtrip_batched():
+    # The reference merge hardcodes batch 1 (diffusionfwi.py:46-76);
+    # ours must round-trip a real batch without collapsing it.
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(3, 1, 16, 44).astype(np.float32))
+    patches = split_data_to_patches(x, (16, 16), (1, 14))
+    assert patches.shape == (9, 1, 16, 16)
+    merged = merge_patches_to_data(patches, (16, 44), (16, 16), (1, 14))
+    assert merged.shape == x.shape
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        merge_patches_to_data(patches[:4], (16, 44), (16, 16), (1, 14))
+
+
 @pytest.fixture(scope='module')
 def tiny_setup():
     n, nt, ns, nbc = 16, 50, 2, 8

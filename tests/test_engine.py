@@ -246,8 +246,18 @@ def test_warm_compile_matches_dispatch_program():
                              reg_lambda=1.0, key=jax.random.PRNGKey(3),
                              progress=False)
     assert len(engine._program_cache) == 1
+    # optimize() after warm_compile dispatches the AOT executable directly
+    assert len(engine._aot_cache) == 1
     assert np.all(np.isfinite(np.asarray(mu)))
     assert len(pm[0]['ssim']) == 2
+    # ... and it computes the same thing the jit path does
+    cold = InversionEngine(diffusion_model=diffusion,
+                           regularization='diffusion')
+    mu_cold, _ = cold.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
+                               reg_lambda=1.0, key=jax.random.PRNGKey(3),
+                               progress=False)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_cold),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_program_cache_invalidates_on_model_replacement():

@@ -59,6 +59,34 @@ def test_trainer_steps_and_checkpoint(tmp_path, tiny_diffusion):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
 
 
+def test_trainer_resume_restores_rng_stream(tmp_path, tiny_diffusion):
+    """A save/load round-trip must continue the batch-index and noise-key
+    sequences, not replay them from the constructor seed: an uninterrupted
+    6-step run and a 3+save+load+3 run must produce identical losses
+    (advisor r3: load() previously dropped _np_rng/_key)."""
+    data = np.random.RandomState(2).rand(64, 1, 18, 18).astype(np.float32)
+
+    def make(steps, folder):
+        return Trainer(
+            tiny_diffusion, TensorDataset(data), train_batch_size=16,
+            train_lr=1e-3, train_num_steps=steps, save_and_sample_every=3,
+            num_samples=4, results_folder=str(folder), seed=5,
+            data_parallel=False, device_data=False)
+
+    straight = make(6, tmp_path / 'a')
+    straight.train(log_every=1000, steps_per_call=3)
+    ref_losses = [x['loss'] for x in straight.training_losses]
+
+    first = make(3, tmp_path / 'b')
+    first.train(log_every=1000, steps_per_call=3)  # saves milestone 1
+    assert (tmp_path / 'b' / 'rng-1.npz').exists()
+    second = make(6, tmp_path / 'b')
+    second.load(1)
+    second.train(log_every=1000, steps_per_call=3)
+    res_losses = [x['loss'] for x in second.training_losses]
+    np.testing.assert_allclose(res_losses, ref_losses, rtol=1e-5)
+
+
 def test_trainer_grad_accum_equivalence(tiny_diffusion):
     """2 micro-batches of 8 must match 1 batch of 16 up to fp tolerance
     when the same data and keys flow through (structural check: loss is

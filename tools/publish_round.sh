@@ -2,45 +2,66 @@
 # Post-training publishing chain (run when the chip is otherwise idle —
 # everything here dispatches to the TPU and MUST be serialized).
 #
+# Each step's pass/fail is collected and reported at the end; any
+# failure makes the script exit nonzero so stale artifacts can't
+# masquerade as fresh (advisor r3: steps used to ignore exit codes).
+#
 # Usage: sh tools/publish_round.sh [logdir]
 set -x
-LOG=${1:-/tmp/publish_r3}
+LOG=${1:-/tmp/publish_r4}
 mkdir -p "$LOG"
+STATUS_FILE="$LOG/status.txt"
+: > "$STATUS_FILE"
+FAILED=0
 
-# 1. Export the final EMA prior
-python tools/export_ema.py > "$LOG/export_ema.log" 2>&1 || exit 1
+run_step() {
+  name=$1; shift
+  if "$@" > "$LOG/$name.log" 2>&1; then
+    echo "ok   $name" >> "$STATUS_FILE"
+  else
+    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS_FILE"
+    FAILED=1
+  fi
+}
+
+# 1. Export the final EMA prior — everything downstream measures it,
+#    so a failure here aborts immediately.
+run_step export_ema python tools/export_ema.py
+grep -q FAIL "$STATUS_FILE" && { cat "$STATUS_FILE"; exit 1; }
 
 # 2. Quality vs training progress (one compiled program, K milestones)
-python tools/milestone_eval.py --out docs/milestone_eval.md \
-  > "$LOG/milestone_eval.log" 2>&1
+run_step milestone_eval python tools/milestone_eval.py \
+  --out docs/milestone_eval.md
 
 # 3. Headline quality, both observation protocols
-python tools/eval_quality.py --n 4 --ts 300 --out QUALITY.md \
-  --save_curves docs/curves/openfwi > "$LOG/quality.log" 2>&1
+run_step quality python tools/eval_quality.py --n 4 --ts 300 \
+  --out QUALITY.md --save_curves docs/curves/openfwi
 
 # 4. Robustness under corruption (honest observations)
-python tools/eval_quality.py --n 4 --ts 300 --noise_std 0.05 \
-  --missing_number 10 --obs refined --out QUALITY_corrupted.md \
-  > "$LOG/quality_corrupted.log" 2>&1
+run_step quality_corrupted python tools/eval_quality.py --n 4 --ts 300 \
+  --noise_std 0.05 --missing_number 10 --obs refined \
+  --out QUALITY_corrupted.md
 
 # 5. Field-scale Marmousi-class table (patched RED, sigma=20)
-python tools/eval_quality.py --n 2 --ts 300 --width 190 --sigma 20 \
-  --out QUALITY_marmousi.md --save_curves docs/curves/marmousi \
-  > "$LOG/quality_marmousi.log" 2>&1
+run_step quality_marmousi python tools/eval_quality.py --n 2 --ts 300 \
+  --width 190 --sigma 20 --out QUALITY_marmousi.md \
+  --save_curves docs/curves/marmousi
 
 # 6. Method comparison under both protocols
-python tools/compare_methods.py --n 4 --out BENCHMARKS.md \
-  > "$LOG/benchmarks.log" 2>&1
+run_step benchmarks python tools/compare_methods.py --n 4 \
+  --out BENCHMARKS.md
 
 # 7. Executed example notebooks (golden runs)
-jupyter nbconvert --to notebook --execute --inplace \
-  --ExecutePreprocessor.timeout=3600 examples/example_openfwi.ipynb \
-  > "$LOG/nb_openfwi.log" 2>&1
-jupyter nbconvert --to notebook --execute --inplace \
-  --ExecutePreprocessor.timeout=3600 examples/example_marmousi.ipynb \
-  > "$LOG/nb_marmousi.log" 2>&1
+run_step nb_openfwi jupyter nbconvert --to notebook --execute --inplace \
+  --ExecutePreprocessor.timeout=3600 examples/example_openfwi.ipynb
+run_step nb_marmousi jupyter nbconvert --to notebook --execute --inplace \
+  --ExecutePreprocessor.timeout=3600 examples/example_marmousi.ipynb
 
 # 8. Headline bench with measured variance
-python bench.py --repeat 3 > "$LOG/bench.log" 2>&1
+run_step bench python bench.py --repeat 3
 
-echo DONE
+set +x
+echo "==== publish status ===="
+cat "$STATUS_FILE"
+[ "$FAILED" -eq 0 ] && echo DONE || echo "FAILED (see logs in $LOG)"
+exit "$FAILED"
