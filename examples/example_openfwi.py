@@ -28,7 +28,9 @@ def ensure_dataset(config_path: str) -> list:
 
     from red_diffeq_tpu.config import load_config, save_config
     from red_diffeq_tpu.io.synthetic import generate_mixed_dataset
-    from red_diffeq_tpu.solvers.acoustic import FWIForward
+    from red_diffeq_tpu.solvers.acoustic import (
+        FWIForward, refined_ctx, upsample_velocity,
+    )
     from red_diffeq_tpu.utils.data_trans import (
         s_normalize_none, v_denormalize, v_normalize,
     )
@@ -42,10 +44,18 @@ def ensure_dataset(config_path: str) -> list:
     (root / 'Seismic_Data').mkdir(parents=True)
     (root / 'Velocity_Data').mkdir(parents=True)
     vel = generate_mixed_dataset(2, h=70, w=int(cfg.pde.ng), seed=1234)
-    op = FWIForward(cfg.pde.to_dict(), normalize=True,
+    # Observations come from a dt/2 + dx/2 refined solver at the same
+    # physical acquisition — NOT from the solver the inversion itself
+    # uses — so the captured golden metrics carry an honest
+    # forward-model mismatch (no inverse crime), matching QUALITY.md.
+    # backend='xla': the refined grid's receiver line is strided (every
+    # 2nd fine column), which the pallas contiguous-gather path rejects.
+    op = FWIForward(refined_ctx(cfg.pde.to_dict(), factor=2),
+                    sample_temporal=2, normalize=True,
                     v_denorm_func=v_denormalize,
-                    s_norm_func=s_normalize_none)
-    seis = np.asarray(op(v_normalize(jnp.asarray(vel))))
+                    s_norm_func=s_normalize_none, backend='xla', chunk=20)
+    vel_fine = upsample_velocity(vel, factor=2)
+    seis = np.asarray(op(v_normalize(jnp.asarray(vel_fine))))
     np.save(root / 'Seismic_Data' / 'CV.npy', seis)
     np.save(root / 'Velocity_Data' / 'CV.npy', vel)
 
