@@ -60,6 +60,14 @@ run_step nb_marmousi jupyter nbconvert --to notebook --execute --inplace \
 # 8. Headline bench with measured variance
 run_step bench python bench.py --repeat 3
 
+# 9. Batch operating-point check (docs/scaling.md projects ~8.3 s/sample
+#    at batch 16 vs 8.7 at 4; decide bench.py's default from data)
+run_step bench_b16 python bench.py --repeat 3 --batch 16
+
+# 10. Attribute the cross-round headline drift (device vs host split)
+run_step drift_probe python tools/drift_probe.py --repeat 3 \
+  --out docs/perf_split.md
+
 set +x
 echo "==== publish status ===="
 cat "$STATUS_FILE"

@@ -104,6 +104,9 @@ def main(argv=None):
                          f"{r['ms_per_step_total']} | "
                          f"{r['s_per_sample_at_300']} | "
                          f"{r['samples_per_hour']} |")
+        lines += ['', 'Headline-bench time split (device-only scan vs '
+                      'end-to-end dispatch/host): docs/perf_split.md, '
+                      'produced by `make drift-probe`.']
         args.out.write_text('\n'.join(lines) + '\n')
         print(f'wrote {args.out}')
 
