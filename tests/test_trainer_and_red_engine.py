@@ -87,6 +87,19 @@ def test_trainer_resume_restores_rng_stream(tmp_path, tiny_diffusion):
     np.testing.assert_allclose(res_losses, ref_losses, rtol=1e-5)
 
 
+def test_trainer_device_data_threshold(tiny_diffusion):
+    """The device-resident dataset gate respects the configurable HBM
+    budget (advisor r3: fixed 4 GiB threshold ignored actual memory)."""
+    data = np.random.RandomState(3).rand(32, 1, 18, 18).astype(np.float32)
+    common = dict(train_batch_size=16, train_num_steps=1,
+                  results_folder='/tmp/tddt', data_parallel=False)
+    on = Trainer(tiny_diffusion, TensorDataset(data), **common)
+    assert on._device_data
+    off = Trainer(tiny_diffusion, TensorDataset(data),
+                  device_data_max_bytes=0, **common)
+    assert not off._device_data
+
+
 def test_trainer_grad_accum_equivalence(tiny_diffusion):
     """2 micro-batches of 8 must match 1 batch of 16 up to fp tolerance
     when the same data and keys flow through (structural check: loss is
