@@ -37,9 +37,12 @@ def loss_curve_summary(run_dir: Path):
         return []
     data = json.loads(files[max(files)].read_text())
     losses = data.get('losses', [])
+    # Trainer entries are {'step': int, 'loss': float} dicts
+    vals = np.asarray([x['loss'] if isinstance(x, dict) else float(x)
+                       for x in losses], np.float64)
     out = []
-    for k in range(1000, len(losses) + 1, max(1000, len(losses) // 20)):
-        out.append((k, float(np.mean(losses[max(0, k - 1000):k]))))
+    for k in range(1000, len(vals) + 1, max(1000, len(vals) // 20)):
+        out.append((k, float(np.mean(vals[max(0, k - 1000):k]))))
     return out
 
 
@@ -136,7 +139,11 @@ def main(argv=None):
               f"{row['refined']['MAE']:.4f} SSIM "
               f"{row['refined']['SSIM']:.4f}", flush=True)
 
-    curve = loss_curve_summary(args.run)
+    try:
+        curve = loss_curve_summary(args.run)
+    except Exception as e:  # never lose the eval table to a summary bug
+        print(f'loss-curve summary failed ({e!r}); table written without it')
+        curve = []
     lines = [
         '# Prior quality vs training progress',
         '',
