@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument('--ts', type=int, default=300)
     p.add_argument('--out', type=Path,
                    default=Path('docs/milestone_eval.md'))
+    p.add_argument('--note', default=None,
+                   help='extra provenance paragraph written under the '
+                        'table (e.g. which checkpoints come from which '
+                        'training run)')
     args = p.parse_args(argv)
 
     from red_diffeq_tpu.utils.cache import enable_persistent_cache
@@ -139,6 +143,10 @@ def main(argv=None):
               f"{row['refined']['MAE']:.4f} SSIM "
               f"{row['refined']['SSIM']:.4f}", flush=True)
 
+    # Order the table by training step (explicit --ckpts globs arrive
+    # lexically: model-10 before model-2).
+    rows.sort(key=lambda r: (not isinstance(r['step'], int), r['step']))
+
     try:
         curve = loss_curve_summary(args.run)
     except Exception as e:  # never lose the eval table to a summary bug
@@ -157,10 +165,13 @@ def main(argv=None):
         '|---|---|---|---|---|---|',
     ]
     for r in rows:
+        ckpt_path = Path(r['ckpt'])
         lines.append(
-            f"| {Path(r['ckpt']).name} | {r['step']} | "
+            f"| {ckpt_path.parent.name}/{ckpt_path.name} | {r['step']} | "
             f"{r['clean']['MAE']:.4f} | {r['clean']['SSIM']:.4f} | "
             f"{r['refined']['MAE']:.4f} | {r['refined']['SSIM']:.4f} |")
+    if args.note:
+        lines += ['', args.note]
     if curve:
         lines += ['', '## Training loss (trailing-1k mean)', '',
                   '| step | loss |', '|---|---|']
