@@ -18,6 +18,18 @@ run_step() {
   name=$1; shift
   if "$@" > "$LOG/$name.log" 2>&1; then
     echo "ok   $name" >> "$STATUS_FILE"
+  elif grep -qi 'UNAVAILABLE' "$LOG/$name.log"; then
+    # Transient device/compile-service fault (observed: a batch-16
+    # bench "kernel fault" that succeeded verbatim on retry). One
+    # retry in a fresh process; the grant reclaim after a fault can
+    # take ~5-8 min, which the retry's first dispatch absorbs.
+    echo "retrying $name after transient UNAVAILABLE" >&2
+    if "$@" > "$LOG/$name.retry.log" 2>&1; then
+      echo "ok   $name (after retry)" >> "$STATUS_FILE"
+    else
+      echo "FAIL $name (see $LOG/$name.retry.log)" >> "$STATUS_FILE"
+      FAILED=1
+    fi
   else
     echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS_FILE"
     FAILED=1
