@@ -147,5 +147,30 @@ def main(argv=None):
     print(json.dumps(result))
 
 
+def _main_with_retry():
+    """One self-re-exec on transient device faults.
+
+    The tunneled chip occasionally reports UNAVAILABLE (device fault /
+    pool blip); the grant then takes ~5-8 min to reclaim and the same
+    run succeeds verbatim in a fresh process. Since this script is the
+    driver's single shot at the round's headline number, retry once —
+    a fresh process is required because a failed backend init poisons
+    the current one.
+    """
+    import os
+    import sys
+    try:
+        main()
+    except Exception as e:
+        transient = 'UNAVAILABLE' in str(e) or 'Unavailable' in str(e)
+        if not transient or os.environ.get('BENCH_RETRIED') == '1':
+            raise
+        print(f'transient device fault ({type(e).__name__}); '
+              're-executing once after grant-reclaim wait', file=sys.stderr)
+        time.sleep(420)
+        os.environ['BENCH_RETRIED'] = '1'
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == '__main__':
-    main()
+    _main_with_retry()
