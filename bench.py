@@ -15,25 +15,93 @@ the headline value plus min/max/spread_pct fields, so run-to-run
 variance (session/tunnel effects) is measured rather than asserted.
 ``--batch B`` selects the batch size (amortizes fixed per-dispatch cost
 over more samples; see docs/scaling.md for the batch sweep).
+
+Outage behavior (VERDICT r4, Next #1): the tunneled chip can go hard
+down, in which case backend init hangs forever — so before building
+anything this script probes the device in a timeout-bounded subprocess,
+and a watchdog bounds the whole run. On unrecoverable device failure it
+prints ONE machine-readable diagnostic JSON line (same ``metric``/
+``unit`` keys, plus ``error`` and the last in-tree good measurement
+from BENCH_LAST_GOOD.json) and exits 0, instead of dying on the driver
+timeout with nothing parseable. Transient faults retry ONCE in a fresh
+process with ``--repeat 1`` and no sleep — the fresh process's first
+dispatch naturally blocks until the device grant is reclaimed.
 """
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
+from pathlib import Path
 
 BASELINE_S_PER_SAMPLE = 675.58
 DEFAULT_BATCH = 4
 TS = 300
+METRIC = 'openfwi_red_diffeq_inversion_time'
+LAST_GOOD_PATH = Path(__file__).resolve().parent / 'BENCH_LAST_GOOD.json'
+PROBE_TIMEOUT_S = int(os.environ.get('BENCH_PROBE_TIMEOUT_S', '600'))
+WATCHDOG_S = int(os.environ.get('BENCH_WATCHDOG_S', '2400'))
 
 
-def build_workload(batch=DEFAULT_BATCH, ts=TS, prewarm=False):
+def _diagnostic_exit(msg):
+    """Print one machine-readable JSON line and exit 0. The line keeps
+    the normal metric/unit keys so downstream parsers see a schema, but
+    carries ``error`` instead of ``value`` — a failed capture must never
+    masquerade as a fresh measurement."""
+    out = {'metric': METRIC, 'unit': 's/sample', 'error': msg}
+    try:
+        last = json.loads(LAST_GOOD_PATH.read_text())
+        out['last_good'] = last
+    except Exception:
+        pass
+    print(json.dumps(out), flush=True)
+    os._exit(0)
+
+
+def _probe_device():
+    """Check the default backend can init AND dispatch, inside a
+    subprocess bounded by PROBE_TIMEOUT_S (a wedged tunnel hangs client
+    construction with no exception — only a subprocess timeout catches
+    it). The timeout is sized for the ~5-8 min grant-reclaim first
+    dispatch, which this probe also absorbs so the timed runs don't."""
+    code = ('import jax, jax.numpy as jnp;'
+            'jax.block_until_ready(jnp.zeros((), jnp.float32) + 1.0);'
+            'print(jax.default_backend())')
+    try:
+        p = subprocess.run([sys.executable, '-c', code],
+                           timeout=PROBE_TIMEOUT_S, text=True,
+                           stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    except subprocess.TimeoutExpired:
+        return False, (f'device client init/dispatch timed out after '
+                       f'{PROBE_TIMEOUT_S}s (tunnel wedged or chip down)')
+    if p.returncode != 0:
+        tail = (p.stdout or '').strip().splitlines()[-3:]
+        return False, 'device probe failed: ' + ' | '.join(tail)
+    return True, p.stdout.strip().splitlines()[-1]
+
+
+def _start_watchdog():
+    """If the timed run itself wedges mid-flight, emit the diagnostic
+    line before the driver's timeout turns the round into rc=124."""
+    import threading
+    t = threading.Timer(
+        WATCHDOG_S, lambda: _diagnostic_exit(
+            f'bench watchdog fired after {WATCHDOG_S}s '
+            f'(device likely wedged mid-run)'))
+    t.daemon = True
+    t.start()
+    return t
+
+
+def build_workload(batch=DEFAULT_BATCH, ts=TS):
     """Build the exact headline workload: returns (engine, op, mu0,
-    v_true_j, y, run) where run(ts) executes one full inversion and
-    blocks. Shared with tools/drift_probe.py so the perf-drift split is
-    measured on the same program the headline reports."""
+    v_true_j, y, run, backend) where run(ts) executes one full inversion
+    and blocks. Shared with tools/drift_probe.py so the perf-drift split
+    is measured on the same program the headline reports."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     from red_diffeq_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from red_diffeq_tpu.core.inversion import InversionEngine
@@ -113,6 +181,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     batch = args.batch
 
+    import numpy as np
+
     _, _, _, _, _, run, backend = build_workload(batch=batch, ts=TS)
 
     run(TS)                      # compile + warm run
@@ -126,7 +196,7 @@ def main(argv=None):
     s_per_sample = per_sample[len(per_sample) // 2]  # median
     final_ssim = float(np.mean([pm['ssim'][-1] for pm in per_model]))
     result = {
-        'metric': 'openfwi_red_diffeq_inversion_time',
+        'metric': METRIC,
         'value': round(s_per_sample, 3),
         'unit': 's/sample',
         'vs_baseline': round(BASELINE_S_PER_SAMPLE / s_per_sample, 2),
@@ -144,32 +214,49 @@ def main(argv=None):
             'spread_pct': round(100.0 * (per_sample[-1] - per_sample[0])
                                 / s_per_sample, 1),
         })
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    # Record the measurement so a future outage can report the last
+    # good in-tree number alongside its error diagnostics.
+    try:
+        LAST_GOOD_PATH.write_text(json.dumps(
+            {'when': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),
+             **result}, indent=1) + '\n')
+    except OSError:
+        pass
 
 
 def _main_with_retry():
-    """One self-re-exec on transient device faults.
+    """Bounded fault handling around main().
 
-    The tunneled chip occasionally reports UNAVAILABLE (device fault /
-    pool blip); the grant then takes ~5-8 min to reclaim and the same
-    run succeeds verbatim in a fresh process. Since this script is the
-    driver's single shot at the round's headline number, retry once —
-    a fresh process is required because a failed backend init poisons
-    the current one.
+    * Probe first: a wedged tunnel hangs backend init with no exception,
+      so probe in a subprocess with a timeout and emit the diagnostic
+      JSON line immediately if the device is unreachable.
+    * Watchdog: bounds the whole run so a mid-flight wedge still
+      produces a parseable line inside the driver's window.
+    * Transient faults (UNAVAILABLE / pool blip): the same run succeeds
+      verbatim in a fresh process once the device grant is reclaimed
+      (~5-8 min, absorbed by the retried process's own first dispatch —
+      no sleep here). Retry ONCE, with --repeat 1 to fit the window.
     """
-    import os
-    import sys
+    ok, msg = _probe_device()
+    if not ok:
+        _diagnostic_exit(msg)
+    _start_watchdog()
     try:
         main()
     except Exception as e:
         transient = 'UNAVAILABLE' in str(e) or 'Unavailable' in str(e)
         if not transient or os.environ.get('BENCH_RETRIED') == '1':
-            raise
+            _diagnostic_exit(f'bench failed: {type(e).__name__}: '
+                             f'{str(e)[:300]}')
         print(f'transient device fault ({type(e).__name__}); '
-              're-executing once after grant-reclaim wait', file=sys.stderr)
-        time.sleep(420)
+              're-executing once with --repeat 1', file=sys.stderr)
         os.environ['BENCH_RETRIED'] = '1'
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        argv = [a for i, a in enumerate(sys.argv)
+                if not (a.startswith('--repeat')
+                        or (i > 0 and sys.argv[i - 1] == '--repeat'))]
+        os.execv(sys.executable,
+                 [sys.executable] + argv + ['--repeat', '1'])
 
 
 if __name__ == '__main__':

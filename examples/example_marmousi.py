@@ -18,4 +18,4 @@ if __name__ == '__main__':
                         '--results_dir', args.results_dir,
                         '--random_seed', '8888'])
     run_dir = sorted(Path(args.results_dir).rglob('config.yaml'))[-1].parent
-    plot_results(run_dir)
+    plot_results(run_dir, name='example_marmousi')

@@ -69,7 +69,7 @@ def ensure_dataset(config_path: str) -> list:
     return ['--config', str(override)]
 
 
-def plot_results(run_dir: Path):
+def plot_results(run_dir: Path, name: str = 'example_openfwi'):
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
@@ -86,7 +86,7 @@ def plot_results(run_dir: Path):
         im = ax.imshow(img, cmap='jet')
         ax.set_title(title)
         fig.colorbar(im, ax=ax, shrink=0.8)
-    out = run_dir / 'example_openfwi.png'
+    out = run_dir / f'{name}.png'
     fig.savefig(out, dpi=120, bbox_inches='tight')
     print(f'Final MAE {d["mae"][-1]:.4f}  RMSE {d["rmse"][-1]:.4f}  '
           f'SSIM {d["ssim"][-1]:.4f}')

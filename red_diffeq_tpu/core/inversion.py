@@ -339,8 +339,15 @@ class InversionEngine:
 
         def run_scan(carry, keys, y, mask, mu_true_norm):
             if aot_exec is not None:
-                return aot_exec(carry, keys, y, mask, mu_true_norm,
-                                params_arg)
+                # AOT executables are aval-exact: a typed PRNG key
+                # (jax.random.key) or a swapped params dtype raises
+                # TypeError where jit would simply retrace. Fall back to
+                # the jit path on mismatch instead of failing the run.
+                try:
+                    return aot_exec(carry, keys, y, mask, mu_true_norm,
+                                    params_arg)
+                except TypeError:
+                    pass
             return run_scan_p(carry, keys, y, mask, mu_true_norm,
                               params_arg)
 

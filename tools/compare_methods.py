@@ -85,9 +85,15 @@ def main(argv=None):
                                  sigma_x0=1e-4)
         mu0 = jnp.pad(init_j, ((0, 0), (0, 0), (1, 1), (1, 1)))
         # AOT-prewarm so s/sample is execution-only (same protocol as
-        # tools/eval_quality.py)
+        # tools/eval_quality.py) — then one discarded dispatch so the
+        # per-process first-dispatch/executable-load warmup lands outside
+        # the timed row, matching the competitors' discarded warmup pass
+        # below (round-4 advisor finding).
         engine.warm_compile(mu0.shape, y.shape, op, ts=300, lr=0.03,
                             reg_lambda=0.75, regularization='diffusion')
+        engine.optimize(mu0, v_true_j, y, op, ts=300, lr=0.03,
+                        reg_lambda=0.75, key=jax.random.PRNGKey(8888),
+                        progress=False)
         t0 = time.time()
         _, pm = engine.optimize(mu0, v_true_j, y, op, ts=300, lr=0.03,
                                 reg_lambda=0.75,

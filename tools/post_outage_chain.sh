@@ -1,0 +1,34 @@
+#!/bin/sh
+# Post-outage requeue: the chip-gated evidence steps, strictly
+# serialized (docs/outage_runbook.md — two concurrent chip users wedge
+# the tunnel). Run this once the chip answers a probe again; the first
+# step's first dispatch absorbs the 5-8 min grant reclaim.
+#
+# Steps, cheapest-first so partial recovery still yields evidence:
+#   1. headline bench (refreshes BENCH_LAST_GOOD.json)
+#   2. stencil-layout on-chip timing (VERDICT r4 Next #4)
+#   3. batch-16 operating point (VERDICT r4 Next #7)
+#   4. QUALITY regen with warmup fix (VERDICT r4 Next #5)
+#   5. corrupted-QUALITY regen (VERDICT r4 Next #5)
+# The long r1-recipe prior replication (Next #3) is NOT queued here —
+# launch tools/replicate_r1_prior.sh separately when hours of exclusive
+# chip time are available.
+#
+# Usage: sh tools/post_outage_chain.sh [logdir]
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/post_outage}
+mkdir -p "$LOG"
+run() {
+  name=$1; shift
+  if "$@" > "$LOG/$name.log" 2>&1; then
+    echo "ok   $name" >> "$LOG/status.txt"
+  else
+    echo "FAIL $name (rc=$?)" >> "$LOG/status.txt"
+  fi
+}
+run bench         python bench.py --repeat 3
+run layout_probe  python tools/kernel_layout_probe.py --nt 1000 --programs 20 --reps 3
+run bench_b16     python bench.py --repeat 3 --batch 16
+run quality       python tools/eval_quality.py --n 4 --ts 300 --out QUALITY.md --save_curves docs/curves/openfwi
+run quality_corr  python tools/eval_quality.py --n 4 --ts 300 --noise_std 0.05 --missing_number 10 --obs refined --out QUALITY_corrupted.md
+echo CHAIN_DONE >> "$LOG/status.txt"

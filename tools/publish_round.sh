@@ -83,12 +83,28 @@ run_step nb_openfwi jupyter nbconvert --to notebook --execute --inplace \
 run_step nb_marmousi jupyter nbconvert --to notebook --execute --inplace \
   --ExecutePreprocessor.timeout=3600 examples/example_marmousi.ipynb
 
+# bench.py handles its own fault policy (device probe with timeout, one
+# self-retry with --repeat 1, diagnostic JSON + rc=0 on unrecoverable
+# failure) — so it is NOT wrapped in run_step's UNAVAILABLE retry
+# (advisor r4: the two retries used to stack into ~4 runs / 30+ min).
+# A diagnostic line still fails the step here: rc=0 with an "error" key
+# means "machine-readable failure", which must not publish as fresh.
+run_bench_step() {
+  name=$1; shift
+  if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
+    echo "ok   $name" >> "$STATUS_FILE"
+  else
+    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS_FILE"
+    FAILED=1
+  fi
+}
+
 # 8. Headline bench with measured variance
-run_step bench python bench.py --repeat 3
+run_bench_step bench python bench.py --repeat 3
 
 # 9. Batch operating-point check (docs/scaling.md projects ~8.3 s/sample
 #    at batch 16 vs 8.7 at 4; decide bench.py's default from data)
-run_step bench_b16 python bench.py --repeat 3 --batch 16
+run_bench_step bench_b16 python bench.py --repeat 3 --batch 16
 
 # 10. Attribute the cross-round headline drift (device vs host split)
 run_step drift_probe python tools/drift_probe.py --repeat 3 \
