@@ -63,6 +63,30 @@ def test_bench_retry_strips_repeat_flag():
         assert filtered[0] == 'bench.py'
 
 
+def test_hermetic_reexec_preserves_stdout():
+    """The conftest re-exec must hand the child the REAL stdout.
+
+    pytest's fd-capture is active while conftests load, so a naive exec
+    leaves fd 1 pointing at a capture temp file and the child's entire
+    output (dots, tracebacks, summary) dies with it — observed as a
+    green 116-test run whose log was 0 bytes. Run a nested pytest with
+    the plugin-activation variable set (forcing the re-exec trampoline)
+    and assert the summary line actually reaches our pipe."""
+    env = dict(os.environ)
+    env['PALLAS_AXON_POOL_IPS'] = env.get('PALLAS_AXON_POOL_IPS',
+                                          '127.0.0.1') or '127.0.0.1'
+    env.pop('_RDT_HERMETIC_REEXEC', None)
+    p = subprocess.run(
+        [sys.executable, '-m', 'pytest', 'tests/test_docs_consistency.py',
+         '-q', '-p', 'no:cacheprovider'],
+        cwd=REPO, env=env, timeout=300, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    assert p.returncode == 0, p.stdout
+    assert 'passed' in p.stdout, (
+        f'nested pytest exited 0 but its stdout was lost '
+        f'({len(p.stdout)} bytes captured)')
+
+
 def test_dryrun_subprocess_env_is_scrubbed(monkeypatch):
     """dryrun_multichip must spawn its impl with the plugin activation
     variable removed and the CPU platform pinned."""
