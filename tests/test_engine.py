@@ -260,6 +260,35 @@ def test_warm_compile_matches_dispatch_program():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_aot_dispatch_falls_back_on_aval_mismatch():
+    """An AOT executable is aval-exact; calling optimize() with a typed
+    PRNG key (jax.random.key) after a warm_compile done with raw keys
+    must fall back to the jit path and still produce the same result
+    (round-4 advisor finding: it used to raise TypeError)."""
+    from red_diffeq_tpu.models.diffusion import GaussianDiffusion
+    from red_diffeq_tpu.models.unet import Unet
+
+    op, v_true, y, mu0 = _mini_problem(n=16, nt=40)
+    model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    diffusion = GaussianDiffusion(model, image_size=18, timesteps=20,
+                                  objective='pred_noise')
+    diffusion.init_params(jax.random.PRNGKey(0))
+    engine = InversionEngine(diffusion_model=diffusion,
+                             regularization='diffusion')
+    engine.warm_compile(mu0.shape, y.shape, op, ts=2, lr=0.05,
+                        reg_lambda=1.0)
+    assert len(engine._aot_cache) == 1
+    mu_typed, _ = engine.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
+                                  reg_lambda=1.0, key=jax.random.key(3),
+                                  progress=False)
+    mu_raw, _ = engine.optimize(mu0, v_true, y, op, ts=2, lr=0.05,
+                                reg_lambda=1.0, key=jax.random.PRNGKey(3),
+                                progress=False)
+    # same seed -> identical bits whichever dispatch path ran
+    np.testing.assert_allclose(np.asarray(mu_typed), np.asarray(mu_raw),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_program_cache_invalidates_on_model_replacement():
     """Replacing engine.diffusion_model WHOLESALE (a new bundle object,
     e.g. a different architecture/schedule) must create a NEW program —
