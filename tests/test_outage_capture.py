@@ -63,6 +63,21 @@ def test_bench_retry_strips_repeat_flag():
         assert filtered[0] == 'bench.py'
 
 
+def test_entry_fails_fast_when_probe_times_out(monkeypatch):
+    """entry() must raise a diagnosable RuntimeError (not hang) when the
+    device probe times out."""
+    import pytest
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as g
+
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get('timeout', 0))
+
+    monkeypatch.setattr(subprocess, 'run', fake_run)
+    with pytest.raises(RuntimeError, match='wedged or chip down'):
+        g._fail_fast_if_device_wedged()
+
+
 def test_hermetic_reexec_preserves_stdout():
     """The conftest re-exec must hand the child the REAL stdout.
 
