@@ -40,7 +40,10 @@ DEFAULT_BATCH = 4
 TS = 300
 METRIC = 'openfwi_red_diffeq_inversion_time'
 LAST_GOOD_PATH = Path(__file__).resolve().parent / 'BENCH_LAST_GOOD.json'
-PROBE_TIMEOUT_S = int(os.environ.get('BENCH_PROBE_TIMEOUT_S', '600'))
+# Sized above the runbook's observed *healthy* first-dispatch worst case
+# (527 s cold, ~5-8 min post-outage grant reclaim) so a slow-but-alive
+# chip is not misreported as an outage.
+PROBE_TIMEOUT_S = int(os.environ.get('BENCH_PROBE_TIMEOUT_S', '900'))
 WATCHDOG_S = int(os.environ.get('BENCH_WATCHDOG_S', '2400'))
 
 
@@ -153,9 +156,6 @@ def build_workload(batch=DEFAULT_BATCH, ts=TS):
 
     engine = InversionEngine(diffusion, regularization='diffusion',
                              sigma_x0=1e-4)
-    if prewarm:
-        engine.warm_compile(mu0.shape, y.shape, op, ts=ts, lr=0.03,
-                            reg_lambda=0.75, regularization='diffusion')
 
     def run(ts=ts):
         mu, per_model = engine.optimize(
@@ -216,13 +216,25 @@ def main(argv=None):
         })
     print(json.dumps(result), flush=True)
     # Record the measurement so a future outage can report the last
-    # good in-tree number alongside its error diagnostics.
-    try:
-        LAST_GOOD_PATH.write_text(json.dumps(
-            {'when': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),
-             **result}, indent=1) + '\n')
-    except OSError:
-        pass
+    # good in-tree number alongside its error diagnostics. Only the
+    # headline configuration qualifies — a --batch 16 sweep or other
+    # operating point must not replace the number README/BENCH_r*.json
+    # quote (they are batch-DEFAULT_BATCH).
+    if batch == DEFAULT_BATCH:
+        try:
+            LAST_GOOD_PATH.write_text(json.dumps(
+                {'when': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),
+                 **result}, indent=1) + '\n')
+        except OSError:
+            pass
+
+
+def _strip_repeat_args(argv):
+    """Drop every spelling of --repeat (``--repeat 3`` / ``--repeat=3``)
+    so the transient-fault retry can append ``--repeat 1``."""
+    return [a for i, a in enumerate(argv)
+            if not (a.startswith('--repeat')
+                    or (i > 0 and argv[i - 1] == '--repeat'))]
 
 
 def _main_with_retry():
@@ -252,11 +264,9 @@ def _main_with_retry():
         print(f'transient device fault ({type(e).__name__}); '
               're-executing once with --repeat 1', file=sys.stderr)
         os.environ['BENCH_RETRIED'] = '1'
-        argv = [a for i, a in enumerate(sys.argv)
-                if not (a.startswith('--repeat')
-                        or (i > 0 and sys.argv[i - 1] == '--repeat'))]
         os.execv(sys.executable,
-                 [sys.executable] + argv + ['--repeat', '1'])
+                 [sys.executable] + _strip_repeat_args(sys.argv)
+                 + ['--repeat', '1'])
 
 
 if __name__ == '__main__':

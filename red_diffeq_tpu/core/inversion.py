@@ -342,12 +342,21 @@ class InversionEngine:
                 # AOT executables are aval-exact: a typed PRNG key
                 # (jax.random.key) or a swapped params dtype raises
                 # TypeError where jit would simply retrace. Fall back to
-                # the jit path on mismatch instead of failing the run.
+                # the jit path on mismatch instead of failing the run —
+                # but say so, since the caller explicitly prewarmed to
+                # avoid exactly the retrace it is now paying.
                 try:
                     return aot_exec(carry, keys, y, mask, mu_true_norm,
                                     params_arg)
-                except TypeError:
-                    pass
+                except TypeError as e:
+                    import warnings
+                    warnings.warn(
+                        f'AOT executable rejected the call '
+                        f'({str(e)[:200]}); falling back to the jit '
+                        f'path (one retrace). Pass the same aval kinds '
+                        f'used at warm_compile time (e.g. raw '
+                        f'jax.random.PRNGKey) to keep the fast path.',
+                        RuntimeWarning, stacklevel=2)
             return run_scan_p(carry, keys, y, mask, mu_true_norm,
                               params_arg)
 

@@ -41,8 +41,21 @@ def _restore_real_stdio():
             return
 
 
+def _invoked_via_pytest_cli():
+    """Only a real pytest CLI invocation has an argv we can faithfully
+    re-exec; a programmatic run (pytest.main() inside some other
+    script) does not — its argv belongs to the host program, and
+    exec'ing ``python -m pytest <host args>`` would run the wrong
+    thing. In that case skip the re-exec and rely on the belt-and-
+    braces CPU pinning below."""
+    # Covers the console script (.../bin/pytest, .../bin/py.test) and
+    # ``python -m pytest`` (argv[0] = .../pytest/__main__.py).
+    return 'pytest' in sys.argv[0] or 'py.test' in sys.argv[0]
+
+
 if (os.environ.get('PALLAS_AXON_POOL_IPS')
-        and os.environ.get('_RDT_HERMETIC_REEXEC') != '1'):
+        and os.environ.get('_RDT_HERMETIC_REEXEC') != '1'
+        and _invoked_via_pytest_cli()):
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
     env['JAX_PLATFORMS'] = 'cpu'

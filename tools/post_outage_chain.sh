@@ -18,12 +18,16 @@
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/post_outage}
 mkdir -p "$LOG"
+# bench.py exits 0 with an {"error": ...} diagnostic line when the
+# device is unreachable (by design, for the driver) — that is still a
+# FAILED capture here, so gate on the error key as well as the rc
+# (same policy as publish_round.sh run_bench_step).
 run() {
   name=$1; shift
-  if "$@" > "$LOG/$name.log" 2>&1; then
+  if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
     echo "ok   $name" >> "$LOG/status.txt"
   else
-    echo "FAIL $name (rc=$?)" >> "$LOG/status.txt"
+    echo "FAIL $name (see $LOG/$name.log)" >> "$LOG/status.txt"
   fi
 }
 run bench         python bench.py --repeat 3
