@@ -97,11 +97,17 @@ def _start_watchdog():
     return t
 
 
-def build_workload(batch=DEFAULT_BATCH, ts=TS):
+def build_workload(batch=DEFAULT_BATCH, ts=TS, smoke=False):
     """Build the exact headline workload: returns (engine, op, mu0,
     v_true_j, y, run, backend) where run(ts) executes one full inversion
     and blocks. Shared with tools/drift_probe.py so the perf-drift split
-    is measured on the same program the headline reports."""
+    is measured on the same program the headline reports.
+
+    ``smoke=True`` swaps in a tiny problem (16x16 grid, nt=60, dim-8
+    denoiser, no pretrained prior) so the whole main() pipeline —
+    argparse, build, timed runs, JSON emission — is executable in the
+    CPU test suite in seconds. Smoke results never touch
+    BENCH_LAST_GOOD.json."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -115,22 +121,29 @@ def build_workload(batch=DEFAULT_BATCH, ts=TS):
         prepare_initial_model, s_normalize_none, v_denormalize, v_normalize,
     )
 
-    ctx = dict(n_grid=70, nt=1000, dx=10.0, dt=0.001, nbc=120, f=15.0,
-               sz=10, gz=10, ng=70, ns=5)
+    if smoke:
+        ctx = dict(n_grid=16, nt=60, dx=10.0, dt=0.001, nbc=20, f=15.0,
+                   sz=10, gz=10, ng=16, ns=2)
+        unet_dim, unet_mults, image_size, timesteps = 8, (1, 2), 18, 20
+    else:
+        ctx = dict(n_grid=70, nt=1000, dx=10.0, dt=0.001, nbc=120, f=15.0,
+                   sz=10, gz=10, ng=70, ns=5)
+        unet_dim, unet_mults, image_size, timesteps = 64, (1, 2, 4, 8), 72, 1000
     backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
     op = FWIForward(ctx, normalize=True, v_denorm_func=v_denormalize,
                     s_norm_func=s_normalize_none, backend=backend, chunk=20)
 
-    model = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1)
-    diffusion = GaussianDiffusion(model, image_size=72, timesteps=1000,
-                                  sampling_timesteps=250,
+    model = Unet(dim=unet_dim, dim_mults=unet_mults, channels=1)
+    diffusion = GaussianDiffusion(model, image_size=image_size,
+                                  timesteps=timesteps,
+                                  sampling_timesteps=min(250, timesteps),
                                   objective='pred_noise')
     diffusion.init_params(jax.random.PRNGKey(0))
     # Use the self-pretrained prior when present (QUALITY.md) so the
     # reported SSIM reflects the real method, not a random denoiser.
     from pathlib import Path as _P
     ckpt = _P('pretrained_models/model-synthetic-ema.ckpt')
-    if ckpt.exists():
+    if ckpt.exists() and not smoke:
         from red_diffeq_tpu.io.checkpoints import load_diffusion_params
         load_diffusion_params(diffusion, str(ckpt))
 
@@ -141,7 +154,8 @@ def build_workload(batch=DEFAULT_BATCH, ts=TS):
     from red_diffeq_tpu.io.synthetic import generate_mixed_dataset
     from red_diffeq_tpu.solvers.acoustic import refined_ctx, \
         upsample_velocity
-    v_true = generate_mixed_dataset(batch, seed=8888)
+    n_grid = ctx['n_grid']
+    v_true = generate_mixed_dataset(batch, h=n_grid, w=n_grid, seed=8888)
     v_true_j = jnp.asarray(v_true)
     op_obs = FWIForward(refined_ctx(ctx, factor=2), sample_temporal=2,
                         normalize=True, v_denorm_func=v_denormalize,
@@ -178,18 +192,24 @@ def main(argv=None):
                     help='samples per inversion (fixed dispatch cost '
                          'amortizes over the batch; docs/scaling.md has '
                          'the sweep)')
+    ap.add_argument('--smoke', action='store_true',
+                    help='tiny workload so the full pipeline is '
+                         'executable in the CPU suite; never a headline '
+                         'number and never recorded as last-good')
     args = ap.parse_args(argv)
     batch = args.batch
+    ts = 4 if args.smoke else TS
 
     import numpy as np
 
-    _, _, _, _, _, run, backend = build_workload(batch=batch, ts=TS)
+    _, _, _, _, _, run, backend = build_workload(batch=batch, ts=ts,
+                                                 smoke=args.smoke)
 
-    run(TS)                      # compile + warm run
+    run(ts)                      # compile + warm run
     times = []
     for _ in range(max(1, args.repeat)):
         t0 = time.time()
-        per_model = run(TS)      # timed run
+        per_model = run(ts)      # timed run
         times.append(time.time() - t0)
 
     per_sample = sorted(t / batch for t in times)
@@ -201,11 +221,13 @@ def main(argv=None):
         'unit': 's/sample',
         'vs_baseline': round(BASELINE_S_PER_SAMPLE / s_per_sample, 2),
         'batch': batch,
-        'ts': TS,
+        'ts': ts,
         'backend': backend,
         'final_ssim_synthetic': round(final_ssim, 4),
         'obs': 'refined_dt/2_dx/2',
     }
+    if args.smoke:
+        result['smoke'] = True
     if len(per_sample) > 1:
         result.update({
             'repeats': len(per_sample),
@@ -220,7 +242,7 @@ def main(argv=None):
     # headline configuration qualifies — a --batch 16 sweep or other
     # operating point must not replace the number README/BENCH_r*.json
     # quote (they are batch-DEFAULT_BATCH).
-    if batch == DEFAULT_BATCH:
+    if batch == DEFAULT_BATCH and not args.smoke:
         try:
             LAST_GOOD_PATH.write_text(json.dumps(
                 {'when': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),

@@ -62,6 +62,31 @@ def test_bench_retry_strips_repeat_flag():
     ) == ['bench.py', '--batch', '16']
 
 
+def test_bench_smoke_pipeline_end_to_end():
+    """Execute bench.py's REAL main pipeline (argparse -> workload build
+    -> timed runs -> JSON emission) on the tiny smoke workload. This is
+    the coverage that was missing when a leftover reference to a removed
+    parameter made every headline bench fail at runtime while the suite
+    stayed green."""
+    import time
+    last_good = REPO / 'BENCH_LAST_GOOD.json'
+    mtime_before = last_good.stat().st_mtime
+    p = subprocess.run(
+        [sys.executable, 'bench.py', '--smoke', '--repeat', '1'],
+        cwd=REPO, timeout=900, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    assert p.returncode == 0, p.stdout[-2000:]
+    line = [ln for ln in p.stdout.strip().splitlines()
+            if ln.startswith('{')][-1]
+    out = json.loads(line)
+    assert out.get('smoke') is True
+    assert out['metric'] == 'openfwi_red_diffeq_inversion_time'
+    assert 'error' not in out
+    assert out['value'] > 0
+    # smoke numbers must never become the recorded last-good headline
+    assert last_good.stat().st_mtime == mtime_before
+
+
 def test_entry_fails_fast_when_probe_times_out(monkeypatch):
     """entry() must raise a diagnosable RuntimeError (not hang) when the
     device probe times out."""
