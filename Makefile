@@ -1,8 +1,8 @@
 # Common workflows for red-diffeq-tpu.
 
-.PHONY: install test test-tpu bench datagen pretrain quality compare \
-  quality-marmousi quality-corrupted scaling milestone-eval \
-  synthetic-stats notebooks prewarm
+.PHONY: install test test-tpu bench bench-smoke datagen pretrain quality \
+  compare quality-marmousi quality-corrupted scaling milestone-eval \
+  synthetic-stats notebooks prewarm post-outage replicate-r1
 
 install:
 	pip install -e . --no-deps --no-build-isolation
@@ -17,6 +17,18 @@ test-tpu:
 
 bench:
 	python bench.py
+
+# Tiny CPU-executable pipeline check (never a headline number)
+bench-smoke:
+	python bench.py --smoke --repeat 1
+
+# Serialized chip-evidence requeue after an outage (docs/outage_runbook.md)
+post-outage:
+	sh tools/post_outage_chain.sh
+
+# The designated round-1 prior-recipe replication (docs/milestone_eval.md)
+replicate-r1:
+	sh tools/replicate_r1_prior.sh
 
 datagen:
 	red-diffeq-datagen --out dataset/OpenFWI --n 100
