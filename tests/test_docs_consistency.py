@@ -20,6 +20,26 @@ def test_readme_method_comparison_matches_benchmarks():
         'run python tools/update_readme_claims.py')
 
 
+def test_milestone_loss_summary_includes_curve_end():
+    """The saturation table must show the FINAL training loss: stride
+    arithmetic used to stop up to stride-1 steps short of the curve end,
+    and sub-window runs produced no summary at all."""
+    import json
+    import sys
+    import tempfile
+    sys.path.insert(0, str(REPO / 'tools'))
+    from milestone_eval import loss_curve_summary
+
+    d = Path(tempfile.mkdtemp())
+    (d / 'training_losses-10.json').write_text(json.dumps(
+        {'losses': [{'step': i, 'loss': 1.0} for i in range(100000)]}))
+    assert loss_curve_summary(d)[-1][0] == 100000
+    d2 = Path(tempfile.mkdtemp())
+    (d2 / 'training_losses-1.json').write_text(
+        json.dumps({'losses': [0.5] * 700}))
+    assert loss_curve_summary(d2) == [(700, 0.5)]
+
+
 def test_bench_last_good_schema():
     import json
     last = json.loads((REPO / 'BENCH_LAST_GOOD.json').read_text())

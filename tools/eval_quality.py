@@ -100,20 +100,39 @@ def main(argv=None):
 
     results = {}
     session_warm = False
+    lambdas = {'none': 0.0, 'tv': 0.01, 'l2': 0.01, 'diffusion': 0.75}
+    # One engine per regularizer, shared across observation protocols:
+    # the (reg, shapes) program key is identical for clean and refined
+    # observations (refined is resampled back to the same nt), so
+    # rebuilding engines per protocol would discard the AOT cache and
+    # repeat every warm_compile (round-5 review finding).
+    engines = {reg: InversionEngine(diffusion, regularization=reg,
+                                    sigma_x0=1e-4) for reg in args.regs}
+    warmed = set()
+    # True SSIM of the smoothed initial model, same formula as the
+    # engine's per-step metric (core/metrics.py: normalized fields
+    # mapped to [0,1]). The engine's curves start AFTER the first Adam
+    # update, so pm['ssim'][0] is a post-step value, not the start.
+    from red_diffeq_tpu.utils.ssim import ssim as _ssim
+    # ``init`` is already normalized to [-1, 1] (prepare_initial_model
+    # returns mu-space); only the true model needs normalizing.
+    init_ssim_true = float(np.mean(np.asarray(_ssim(
+        (jnp.asarray(init) + 1) / 2,
+        (v_normalize(v_true_j) + 1) / 2, size_average=False))))
     for obs_name, y in observations.items():
-        lambdas = {'none': 0.0, 'tv': 0.01, 'l2': 0.01, 'diffusion': 0.75}
         for reg in args.regs:
             lam = lambdas[reg]
-            engine = InversionEngine(diffusion, regularization=reg,
-                                     sigma_x0=1e-4)
+            engine = engines[reg]
             # AOT-prewarm so the timed run measures execution only —
             # compilation (minutes for the first configuration of a
             # session) would otherwise be amortized into whichever row
             # happens to run first.
-            engine.warm_compile(
-                mu0.shape, y.shape, op, ts=args.ts, lr=0.03,
-                reg_lambda=lam,
-                regularization=None if reg == 'none' else reg)
+            if (reg, y.shape) not in warmed:
+                engine.warm_compile(
+                    mu0.shape, y.shape, op, ts=args.ts, lr=0.03,
+                    reg_lambda=lam,
+                    regularization=None if reg == 'none' else reg)
+                warmed.add((reg, y.shape))
             if not session_warm:
                 # The process's FIRST device dispatch absorbs one-time
                 # executable-load / device-warmup latency that AOT
@@ -143,8 +162,9 @@ def main(argv=None):
                                        for pm in per_model])),
                 'SSIM': float(np.mean([pm['ssim'][-1]
                                        for pm in per_model])),
-                'initial_SSIM': float(np.mean([pm['ssim'][0]
-                                               for pm in per_model])),
+                'initial_SSIM': init_ssim_true,
+                'first_step_SSIM': float(np.mean([pm['ssim'][0]
+                                                  for pm in per_model])),
                 'seconds_per_sample': round(dt / args.n, 2),
             }
             results[f'{obs_name}/{reg}'] = final

@@ -40,10 +40,18 @@ def loss_curve_summary(run_dir: Path):
     # Trainer entries are {'step': int, 'loss': float} dicts
     vals = np.asarray([x['loss'] if isinstance(x, dict) else float(x)
                        for x in losses], np.float64)
-    out = []
-    for k in range(1000, len(vals) + 1, max(1000, len(vals) // 20)):
-        out.append((k, float(np.mean(vals[max(0, k - 1000):k]))))
-    return out
+    if not len(vals):
+        return []
+    window = min(1000, len(vals))
+    stride = max(window, len(vals) // 20)
+    points = list(range(window, len(vals) + 1, stride))
+    # Always include the curve's end — the final training loss is the
+    # number the saturation table exists to show, and stride arithmetic
+    # can otherwise stop up to stride-1 steps short of it.
+    if points[-1] != len(vals):
+        points.append(len(vals))
+    return [(k, float(np.mean(vals[max(0, k - window):k])))
+            for k in points]
 
 
 def main(argv=None):

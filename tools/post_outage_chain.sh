@@ -14,25 +14,58 @@
 # launch tools/replicate_r1_prior.sh separately when hours of exclusive
 # chip time are available.
 #
+# Exit code: nonzero if ANY step failed (same contract as
+# publish_round.sh — stale artifacts must not masquerade as fresh).
+#
 # Usage: sh tools/post_outage_chain.sh [logdir]
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/post_outage}
 mkdir -p "$LOG"
+STATUS="$LOG/status.txt"
+: > "$STATUS"
+FAILED=0
+
 # bench.py exits 0 with an {"error": ...} diagnostic line when the
 # device is unreachable (by design, for the driver) — that is still a
-# FAILED capture here, so gate on the error key as well as the rc
-# (same policy as publish_round.sh run_bench_step).
-run() {
+# FAILED capture here, so gate on the error key as well as the rc.
+# bench steps self-retry transient faults; they get NO shell retry.
+run_bench() {
   name=$1; shift
   if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
-    echo "ok   $name" >> "$LOG/status.txt"
+    echo "ok   $name" >> "$STATUS"
   else
-    echo "FAIL $name (see $LOG/$name.log)" >> "$LOG/status.txt"
+    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"
+    FAILED=1
   fi
 }
-run bench         python bench.py --repeat 3
+
+# Non-bench steps: transient UNAVAILABLE faults are MOST likely right
+# after an outage (runbook mode 3: all retryable in a fresh process),
+# so retry once when the log's tail shows one — same policy as
+# publish_round.sh run_step.
+run() {
+  name=$1; shift
+  if "$@" > "$LOG/$name.log" 2>&1; then
+    echo "ok   $name" >> "$STATUS"
+  elif tail -n 25 "$LOG/$name.log" | grep -qi 'UNAVAILABLE'; then
+    echo "retrying $name after transient UNAVAILABLE" >&2
+    if "$@" > "$LOG/$name.retry.log" 2>&1; then
+      echo "ok   $name (after retry)" >> "$STATUS"
+    else
+      echo "FAIL $name (see $LOG/$name.retry.log)" >> "$STATUS"
+      FAILED=1
+    fi
+  else
+    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"
+    FAILED=1
+  fi
+}
+
+run_bench bench         python bench.py --repeat 3
 run layout_probe  python tools/kernel_layout_probe.py --nt 1000 --programs 20 --reps 3
-run bench_b16     python bench.py --repeat 3 --batch 16
+run_bench bench_b16     python bench.py --repeat 3 --batch 16
 run quality       python tools/eval_quality.py --n 4 --ts 300 --out QUALITY.md --save_curves docs/curves/openfwi
 run quality_corr  python tools/eval_quality.py --n 4 --ts 300 --noise_std 0.05 --missing_number 10 --obs refined --out QUALITY_corrupted.md
-echo CHAIN_DONE >> "$LOG/status.txt"
+echo CHAIN_DONE >> "$STATUS"
+cat "$STATUS"
+exit "$FAILED"

@@ -8,6 +8,7 @@
 #
 # Usage: sh tools/publish_round.sh [logdir]
 set -x
+cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/publish_r4}
 mkdir -p "$LOG"
 STATUS_FILE="$LOG/status.txt"
@@ -18,7 +19,11 @@ run_step() {
   name=$1; shift
   if "$@" > "$LOG/$name.log" 2>&1; then
     echo "ok   $name" >> "$STATUS_FILE"
-  elif grep -qi 'UNAVAILABLE' "$LOG/$name.log"; then
+  elif tail -n 25 "$LOG/$name.log" | grep -qi 'UNAVAILABLE'; then
+    # Only the FINAL error counts: backend-init chatter earlier in the
+    # log can legitimately contain 'Unable ... UNAVAILABLE' on hosts
+    # where the accelerator plugin probes and falls back, and a
+    # deterministic failure must not trigger a multi-hour rerun.
     # Transient device/compile-service fault (observed: a batch-16
     # bench "kernel fault" that succeeded verbatim on retry). One
     # retry in a fresh process; the grant reclaim after a fault can
@@ -57,7 +62,7 @@ run_step milestone_eval python tools/milestone_eval.py \
   --ckpts pretrained_models/probe_run/model-*.ckpt \
           pretrained_models/milestones_archive/model-*.ckpt \
   --out docs/milestone_eval.md \
-  --note "Provenance: milestones_archive/* are the single 100k-step budget run (batch 128 = the reference's 12.8M-image budget); probe_run/* is a second, shorter run with the same recipe and a fresh seed, saved every 2.5k steps to resolve where the early peak sits. The shipped prior (pretrained_models/model-synthetic-ema.ckpt) is the best-by-held-out-quality milestone — early stopping applied with the full budget as evidence; tools/lambda_sweep.py shows retuning lambda does not rescue late milestones (100k prior peaks at SSIM 0.837 over lambda in [0.05,0.75] vs 0.903 for the 20k prior)."
+  --note "Provenance: milestones_archive/* are the single 100k-step budget run (batch 128 = the reference's 12.8M-image budget); probe_run/* is a second, shorter run with the same recipe and a fresh seed, saved every 2.5k steps to resolve where the early peak sits. The shipped prior (pretrained_models/model-synthetic-ema.ckpt) is the best-by-held-out-quality milestone — early stopping applied with the full budget as evidence; tools/lambda_sweep.py (run once per prior change) shows retuning lambda does not rescue late milestones."
 
 # 3. Headline quality, both observation protocols
 run_step quality python tools/eval_quality.py --n 4 --ts 300 \
@@ -76,6 +81,10 @@ run_step quality_marmousi python tools/eval_quality.py --n 2 --ts 300 \
 # 6. Method comparison under both protocols
 run_step benchmarks python tools/compare_methods.py --n 4 \
   --out BENCHMARKS.md
+# 6b. Re-derive README's method-comparison paragraph from the artifact
+#     just measured — otherwise tests/test_docs_consistency.py goes red
+#     and the README quotes numbers the repo no longer reports.
+run_step readme_claims python tools/update_readme_claims.py
 
 # 7. Executed example notebooks (golden runs)
 run_step nb_openfwi jupyter nbconvert --to notebook --execute --inplace \

@@ -9,6 +9,7 @@
 # Chip-exclusive: run only when nothing else executes on the TPU.
 # Usage: sh tools/replicate_r1_prior.sh [results_folder]
 set -ex
+cd "$(dirname "$0")/.."
 OUT=${1:-pretrained_models/replication_r1}
 red-diffeq-train \
   --data_dir dataset/OpenFWI_20k/Velocity_Data \
