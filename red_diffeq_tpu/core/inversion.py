@@ -13,6 +13,7 @@ Reference: red_diffeq/core/inversion.py:12-129. TPU-first redesign:
   (``use_scan=True``), eliminating per-step dispatch entirely;
 * randomness is explicit: a base key is split per step.
 """
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -87,6 +88,13 @@ class InversionEngine:
                  use_time_weight: bool = False, sigma_x0: float = 0.0001,
                  fixed_timestep: Optional[int] = None):
         del ssim_loss  # metrics use the batched functional SSIM
+        # Validate here as well as in optimize(): optimize() only checks
+        # its per-call argument, and a misspelled engine-level name
+        # (e.g. 'Diffusion') would otherwise fall through make_reg_fn to
+        # the zero-regularization lambda and silently publish
+        # unregularized results under the method's name.
+        if regularization not in _VALID_REG + ('none',):
+            raise ValueError(f'Unknown regularization: {regularization}')
         self.diffusion_model = diffusion_model
         self.regularization = regularization
         self.use_time_weight = use_time_weight
@@ -173,7 +181,7 @@ class InversionEngine:
             # later-assigned model's params in as constants while the
             # traced ``params`` argument swaps tracers into the old one.
             reg_fn = make_reg_fn(
-                reg_name, diffusion, getattr(diffusion, 'apply_fn', None),
+                reg_name, diffusion,
                 use_time_weight=self.use_time_weight,
                 fixed_timestep=self.fixed_timestep)
             return make_inversion_step(
@@ -368,6 +376,13 @@ class InversionEngine:
 
         from red_diffeq_tpu.utils.profiling import StepTimer, trace
 
+        if checkpoint_path is not None and not use_scan:
+            # Snapshots are only implemented for the segmented-scan
+            # path; ignoring the request silently would leave a crashed
+            # run unresumable with no hint why.
+            raise ValueError(
+                'checkpoint_path requires use_scan=True (snapshots are '
+                'written between scan segments)')
         if use_scan and checkpoint_path is not None:
             mu, opt_state, metrics = self._run_checkpointed(
                 run_scan, mu, opt_state, step_keys, y, mask, mu_true_norm,
@@ -449,8 +464,13 @@ class InversionEngine:
             snapshot = {'step': i, 'mu': mu, 'opt_state': opt_state,
                         'metrics': merged}
             path.parent.mkdir(parents=True, exist_ok=True)
-            with open(path, 'wb') as f:
+            # Atomic replace: a kill mid-write (this repo's documented
+            # outage/kill-by-pidfile workflow) must not truncate the
+            # only snapshot and make the run unresumable.
+            tmp = path.with_suffix(path.suffix + '.tmp')
+            with open(tmp, 'wb') as f:
                 f.write(serialization.to_bytes(snapshot))
+            os.replace(tmp, path)
 
         metrics = {k: np.concatenate([p[k] for p in metric_parts])
                    for k in metric_parts[0]}

@@ -14,11 +14,17 @@ import jax
 from flax import serialization
 
 
+import os
+
+
 def save_params(params, path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, 'wb') as f:
+    # Atomic replace so a kill mid-write can't truncate a checkpoint.
+    tmp = path.with_suffix(path.suffix + '.tmp')
+    with open(tmp, 'wb') as f:
         f.write(serialization.to_bytes(params))
+    os.replace(tmp, path)
 
 
 def load_params(path, template=None):
@@ -38,7 +44,16 @@ def load_diffusion_params(diffusion, path: Optional[str], verbose: bool = True):
     if diffusion.params is None:
         diffusion.init_params(jax.random.PRNGKey(0))
     if path and Path(path).exists():
-        diffusion.params = load_params(path, template=diffusion.params)
+        raw = load_params(path)
+        # Trainer-native milestone checkpoints are full training state
+        # ({'step', 'params', 'ema_params', 'opt_state', ...}); bare
+        # EMA exports are just the param tree. Accept both — inference
+        # wants the EMA weights (reference models/diffusion.py:617-625
+        # loads 'ema' the same way).
+        if isinstance(raw, dict) and 'ema_params' in raw:
+            raw = raw['ema_params']
+        diffusion.params = serialization.from_state_dict(
+            diffusion.params, raw)
         if verbose:
             print(f'Loaded pretrained model from: {path}')
     else:

@@ -18,10 +18,16 @@ def _collect(npz_files) -> Optional[Dict[str, list]]:
     for npz_file in npz_files:
         try:
             data = np.load(npz_file)
-            for k in curves:
-                curves[k].append(data[k])
+            # Read every key BEFORE appending any: a partial file (e.g.
+            # 'mae' present but 'rmse' missing) must be skipped whole,
+            # not leave the per-metric lists misaligned so aggregates
+            # silently average different sample sets per metric.
+            loaded = {k: data[k] for k in curves}
         except Exception as e:  # pragma: no cover - corrupt file guard
             print(f'Warning: Failed to load {npz_file}: {e}')
+            continue
+        for k, v in loaded.items():
+            curves[k].append(v)
     return curves if curves['mae'] else None
 
 
@@ -62,9 +68,17 @@ def load_marmousi(folder_path, return_final_only: bool = False):
     if not folder_path.exists():
         print(f'Error: Folder does not exist: {folder_path}')
         return None
-    subdirs = [d for d in folder_path.iterdir()
-               if d.is_dir() and not d.name.startswith('.')
-               and d.name.lower() in ('marmousi', 'overthrust')]
+    subdirs = sorted((d for d in folder_path.iterdir()
+                      if d.is_dir() and not d.name.startswith('.')
+                      and d.name.lower() in ('marmousi', 'overthrust')),
+                     key=lambda d: d.name.lower())
+    if len(subdirs) > 1:
+        # Deterministic choice + an explicit signal: iterdir() order is
+        # filesystem-dependent, so silently taking "the first" would
+        # report different datasets on different machines.
+        print(f'Warning: multiple dataset subdirs in {folder_path} '
+              f'({[d.name for d in subdirs]}); using {subdirs[0].name!r} '
+              f'- pass the subdirectory itself to select the other')
     if subdirs:
         npz_files = sorted(subdirs[0].glob('*_results.npz'))
     else:

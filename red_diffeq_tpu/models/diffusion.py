@@ -398,7 +398,15 @@ class GaussianDiffusion:
             offset = jax.random.normal(k_off, x_start.shape[:2])
             noise = noise + ons * offset[:, :, None, None]
         x = self.q_sample(x_start, t, noise=noise)
-        model_out = self.model.apply({'params': params}, x,
+        # Run the denoiser at the caller's parameter precision: the
+        # trainer's amp path passes bf16 params, but q_sample's fp32
+        # schedule constants promote x back to fp32 — without this cast
+        # flax would upcast the weights and the whole forward would
+        # silently run fp32, defeating mixed precision. Loss math below
+        # stays fp32 via target promotion.
+        p_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        model_out = self.model.apply({'params': params},
+                                     x.astype(p_dtype),
                                      t.astype(jnp.float32))
         if self.objective == 'pred_noise':
             target = noise

@@ -23,6 +23,7 @@ periodic EMA sampling. TPU-first differences:
   unavailable on this stack.
 """
 import json
+import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -283,11 +284,16 @@ class Trainer:
 
         def loss_fn(params, batch, key):
             if amp:
+                # True mixed precision: fp32 master weights (the
+                # optimizer state stays fp32), bf16 model forward.
+                # The batch stays fp32 — q_sample's schedule math is
+                # fp32 by design and p_losses casts the model INPUT to
+                # the params' dtype, which is what actually puts the
+                # U-Net matmuls on the bf16 path.
                 params_c = jax.tree.map(
                     lambda p: p.astype(jnp.bfloat16)
                     if p.dtype == jnp.float32 else p, params)
-                loss = diffusion.loss(params_c,
-                                      batch.astype(jnp.bfloat16), key)
+                loss = diffusion.loss(params_c, batch, key)
                 return loss.astype(jnp.float32)
             return diffusion.loss(params, batch, key)
 
@@ -383,8 +389,12 @@ class Trainer:
             'version': '0.1.0',
         }
         path = self.results_folder / f'model-{milestone}.ckpt'
-        with open(path, 'wb') as f:
+        # Atomic replace: a kill mid-write (outage workflow) must not
+        # leave a truncated milestone as the only copy.
+        tmp = path.with_suffix(path.suffix + '.tmp')
+        with open(tmp, 'wb') as f:
             f.write(serialization.to_bytes(state))
+        os.replace(tmp, path)
         # RNG sidecar: the numpy batch-index stream and the JAX noise key
         # must survive resume, or the run replays the constructor seed's
         # sequence (re-showing early batches and breaking the
@@ -419,6 +429,14 @@ class Trainer:
         if losses_file.exists():
             self.training_losses = json.loads(
                 losses_file.read_text()).get('losses', [])
+        # FID history must survive resume too, or the next milestone's
+        # dump overwrites fid_scores.json with only post-resume entries.
+        fid_file = self.results_folder / 'fid_scores.json'
+        if fid_file.exists():
+            try:
+                self.fid_scores = json.loads(fid_file.read_text())
+            except ValueError:
+                pass
         rng_file = self.results_folder / f'rng-{milestone}.npz'
         if rng_file.exists():
             d = np.load(rng_file)

@@ -23,18 +23,20 @@ RegFn = Callable[[jax.Array, Optional[jax.Array]],
 
 
 def make_reg_fn(regularization_type: Optional[str], diffusion=None,
-                unet_apply=None, use_time_weight: bool = False,
+                use_time_weight: bool = False,
                 fixed_timestep: Optional[int] = None) -> RegFn:
     """Build the regularization function.
 
-    For 'diffusion', ``diffusion`` is a GaussianDiffusion schedule/bundle and
-    ``unet_apply(x, t) -> eps_hat`` the bound denoiser apply function.
+    For 'diffusion', ``diffusion`` is a GaussianDiffusion schedule/bundle
+    (its bound denoiser apply is used for the score; matches the
+    reference, whose RED_DiffEq also takes only the bundle,
+    regularization/diffusion.py:30-40).
     """
     if regularization_type == 'diffusion':
         if diffusion is None:
             raise ValueError("Diffusion model required for 'diffusion' regularization")
         from red_diffeq_tpu.regularization.red import make_red_reg_fn
-        return make_red_reg_fn(diffusion, unet_apply,
+        return make_red_reg_fn(diffusion,
                                use_time_weight=use_time_weight,
                                fixed_timestep=fixed_timestep)
 
@@ -51,16 +53,15 @@ class RegularizationMethod:
     """Stateful shim matching the reference class interface (base.py:7-49)."""
 
     def __init__(self, regularization_type: Optional[str], diffusion_model=None,
-                 unet_apply=None, use_time_weight: bool = False,
+                 use_time_weight: bool = False,
                  sigma_x0: float = 0.0001, fixed_timestep: Optional[int] = None):
         self.regularization_type = regularization_type
         self.diffusion_model = diffusion_model
-        self.unet_apply = unet_apply
         self.use_time_weight = use_time_weight
         self.sigma_x0 = sigma_x0
         self.fixed_timestep = fixed_timestep
         self._fn = make_reg_fn(regularization_type, diffusion_model,
-                               unet_apply, use_time_weight, fixed_timestep)
+                               use_time_weight, fixed_timestep)
 
     def get_reg_loss(self, mu: jax.Array, key: Optional[jax.Array] = None):
         return self._fn(mu, key)

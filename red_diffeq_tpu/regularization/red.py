@@ -150,7 +150,7 @@ class RED_DiffEq:
                 gradient_field.reshape(b, -1).mean(axis=1), t)
 
 
-def make_red_reg_fn(diffusion, unet_apply=None, use_time_weight: bool = False,
+def make_red_reg_fn(diffusion, use_time_weight: bool = False,
                     fixed_timestep: Optional[int] = None):
     """Build the engine-facing reg_fn(mu, key) -> (loss, t); dispatches on
     static shape to the patched variant (reference base.py:26-32)."""

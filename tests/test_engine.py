@@ -324,3 +324,37 @@ def test_program_cache_invalidates_on_model_replacement():
     assert len(engine._program_cache) == 2
     assert not np.allclose(np.asarray(mu_a), np.asarray(mu_b))
     assert np.all(np.isfinite(np.asarray(mu_b)))
+
+
+def test_constructor_rejects_unknown_regularization():
+    """A misspelled engine-level reg name must fail at construction —
+    previously it fell through make_reg_fn to the zero-reg lambda and
+    published unregularized results under the method's name."""
+    with pytest.raises(ValueError, match='Unknown regularization'):
+        InversionEngine(regularization='Diffusion')  # case typo
+    # valid names still construct
+    InversionEngine(regularization='l2')
+    InversionEngine(regularization=None)
+
+
+def test_checkpoint_path_requires_scan():
+    op, v_true, y, mu0 = _mini_problem()
+    engine = InversionEngine(regularization=None)
+    with pytest.raises(ValueError, match='use_scan'):
+        engine.optimize(mu0, v_true, y, op, ts=2, use_scan=False,
+                        checkpoint_path='/tmp/never.ckpt', progress=False)
+
+
+def test_checkpoint_write_is_atomic(tmp_path):
+    """Snapshot writes go through tmp+os.replace; no .tmp residue and the
+    final file loads (a kill mid-write must never truncate the only
+    snapshot — docs/outage_runbook.md workflow)."""
+    op, v_true, y, mu0 = _mini_problem()
+    ck = tmp_path / 'inv.ckpt'
+    engine = InversionEngine(regularization=None)
+    engine.optimize(mu0, v_true, y, op, ts=4, lr=0.05,
+                    key=jax.random.PRNGKey(0), progress=False,
+                    checkpoint_path=str(ck), checkpoint_every=2)
+    assert ck.exists()
+    assert list(tmp_path.glob('*.tmp')) == []
+    assert ck.stat().st_size > 0

@@ -150,3 +150,59 @@ def test_persistent_cache_respects_user_threshold(tmp_path, monkeypatch):
     monkeypatch.delenv('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS')
     enable_persistent_cache(str(tmp_path / 'c2'))
     assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.5
+
+
+def test_p_losses_runs_model_at_param_dtype(tiny):
+    """Mixed precision: with bf16 params the denoiser input is cast to
+    bf16 (the fp32 q_sample constants would otherwise promote the whole
+    forward to fp32, silently defeating amp), and the returned loss is
+    still finite fp32 math."""
+    params16 = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        tiny.params)
+    batch = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 16, 16))
+    loss16 = tiny.loss(params16, batch, jax.random.PRNGKey(3))
+    loss32 = tiny.loss(tiny.params, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss16)) and np.isfinite(float(loss32))
+    # same noise draw → bf16 loss tracks fp32 loss closely
+    assert abs(float(loss16) - float(loss32)) / (float(loss32) + 1e-9) < 0.15
+    # gradients w.r.t. bf16 params exist and are finite (trainer amp path
+    # keeps fp32 masters; this guards the cast itself from NaN blowups)
+    g = jax.grad(lambda p: tiny.loss(p, batch, jax.random.PRNGKey(3)).astype(
+        jnp.float32))(params16)
+    assert all(np.all(np.isfinite(np.asarray(x, dtype=np.float32)))
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_load_diffusion_params_accepts_trainer_state(tiny, tmp_path):
+    """load_diffusion_params must accept both a bare param tree and a
+    trainer milestone checkpoint (full state dict) — taking the EMA
+    weights from the latter (reference models/diffusion.py:617-625)."""
+    from flax import serialization
+    from red_diffeq_tpu.io.checkpoints import (
+        load_diffusion_params, save_params,
+    )
+
+    ema = jax.tree.map(lambda p: p + 1.0, tiny.params)
+    state = {'step': 7, 'params': tiny.params, 'ema_params': ema,
+             'version': '0.1.0'}
+    ckpt = tmp_path / 'model-1.ckpt'
+    ckpt.write_bytes(serialization.to_bytes(state))
+
+    d = tiny.with_params(None)
+    d.params = None
+    load_diffusion_params(d, str(ckpt), verbose=False)
+    leaf = jax.tree_util.tree_leaves(d.params)[0]
+    ref = jax.tree_util.tree_leaves(ema)[0]
+    np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref))
+
+    # bare param tree still loads, and save_params leaves no .tmp residue
+    bare = tmp_path / 'ema.ckpt'
+    save_params(tiny.params, bare)
+    assert list(tmp_path.glob('*.tmp')) == []
+    d2 = tiny.with_params(None)
+    d2.params = None
+    load_diffusion_params(d2, str(bare), verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(d2.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(tiny.params)[0]))

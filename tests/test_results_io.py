@@ -74,3 +74,32 @@ def test_ablation_config_grid(tmp_path):
     assert len(files) == 30  # 5 trick sets x 3 budgets x 2 datasets
     cfg = yaml.safe_load(files[0].read_text())
     assert 'optimization' in cfg and 'diffusion_ts' in cfg['optimization']
+
+
+def test_partial_npz_skipped_whole(tmp_path, capsys):
+    """A result file missing one metric must be skipped entirely —
+    appending its present metrics would leave the per-metric lists
+    averaging different sample sets (round-5 fix in io/results._collect)."""
+    fam = tmp_path / 'CF'
+    fam.mkdir()
+    _write_npz(fam / '0_results.npz', 0.0)
+    # partial file: mae present, rmse/ssim missing
+    np.savez(fam / '1_results.npz', mae=np.array([9.0, 9.0, 9.0]),
+             result=np.zeros((4, 4)))
+    out = load_openfwi(tmp_path)
+    # only the complete file contributes, to every metric alike
+    np.testing.assert_allclose(out['mae'], [0.3, 0.2, 0.1], atol=1e-7)
+    np.testing.assert_allclose(out['ssim'], [0.5, 0.6, 0.7], atol=1e-7)
+    assert 'Failed to load' in capsys.readouterr().out
+
+
+def test_load_marmousi_multiple_subdirs_deterministic(tmp_path, capsys):
+    """With both marmousi/ and overthrust/ present, the loader picks the
+    lexicographically first and says so (iterdir order is fs-dependent)."""
+    (tmp_path / 'overthrust').mkdir()
+    (tmp_path / 'marmousi').mkdir()
+    _write_npz(tmp_path / 'overthrust' / '0_results.npz', 0.1)
+    _write_npz(tmp_path / 'marmousi' / '0_results.npz', 0.0)
+    out = load_marmousi(tmp_path, return_final_only=True)
+    assert abs(out['MAE'] - 0.1) < 1e-6  # marmousi's final mae
+    assert 'multiple dataset subdirs' in capsys.readouterr().out

@@ -276,3 +276,30 @@ def test_device_resident_data_matches_host_stream(tmp_path):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         tr_dev.params, tr_host.params)
+
+
+def test_fid_history_survives_resume(tmp_path):
+    """trainer.load() must restore fid_scores.json into memory, or the
+    first post-resume milestone dump overwrites the file with only the
+    new entry (round-5 fix)."""
+    from red_diffeq_tpu.models.trainer import TensorDataset, Trainer
+
+    rng = np.random.RandomState(0)
+    data = rng.rand(16, 1, 16, 16).astype(np.float32)
+    model = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    diff = GaussianDiffusion(model, image_size=16, timesteps=10,
+                             sampling_timesteps=4, objective='pred_noise')
+    tr = Trainer(diff, TensorDataset(data), train_batch_size=16,
+                 train_num_steps=2, save_and_sample_every=2, num_samples=4,
+                 results_folder=str(tmp_path), data_parallel=False)
+    tr.save(1)
+    prior = [{'step': 2, 'milestone': 1, 'fid_frozen': 12.5}]
+    (tmp_path / 'fid_scores.json').write_text(json.dumps(prior))
+
+    tr2 = Trainer(diff, TensorDataset(data), train_batch_size=16,
+                  train_num_steps=2, save_and_sample_every=2, num_samples=4,
+                  results_folder=str(tmp_path), data_parallel=False)
+    tr2.load(1)
+    assert tr2.fid_scores == prior
+    # milestone saves are atomic: no .tmp residue
+    assert list(tmp_path.glob('*.tmp')) == []
