@@ -71,6 +71,44 @@ def _lap(p):
                     + _roll(p, 2, 1) + _roll(p, -2, 1)))
 
 
+def _lap_y(p):
+    """Sublane (y) half of the stencil only."""
+    return (C2 * (_roll(p, 1, 0) + _roll(p, -1, 0))
+            + C3 * (_roll(p, 2, 0) + _roll(p, -2, 0)))
+
+
+def band_circulant_x(wp: int) -> np.ndarray:
+    """(Wp, Wp) symmetric banded-circulant matrix D such that
+    ``p @ D`` equals the lane-axis (x) half of ``_lap``: C2 on the ±1
+    circular off-diagonals, C3 on ±2. Used by the 'mxu' x-stencil
+    layout (tools/kernel_layout_probe.py 'mxu_x' variant) to move the
+    4 lane-axis rolls per step onto the otherwise-idle MXU."""
+    d = np.zeros((wp, wp), np.float32)
+    idx = np.arange(wp)
+    for off, c in ((1, C2), (-1, C2), (2, C3), (-2, C3)):
+        d[idx, (idx + off) % wp] += c
+    return d
+
+
+def _make_lap(d_ref):
+    """Laplacian closure for one kernel invocation: the shipped 8-roll
+    layout when ``d_ref`` is None, else y-rolls + one MXU matmul against
+    the banded circulant (fp32-exact via HIGHEST precision — a 1000-step
+    recursion amplifies bf16-input dot error past the 3e-6 adjoint
+    parity bar). D is symmetric, so the same closure is valid in the
+    adjoint kernels (the Laplacian stays self-adjoint)."""
+    if d_ref is None:
+        return _lap
+    d = d_ref[...]
+
+    def lap(p):
+        return _lap_y(p) + jnp.dot(
+            p, d, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    return lap
+
+
 def _row_mask(hp, wp, row):
     """(Hp, Wp) one-hot row indicator built from iota (static row)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
@@ -78,8 +116,13 @@ def _row_mask(hp, wp, row):
 
 
 def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
-                src_ref, p0_out, p1_out, rec_ref, state,
-                *, unroll, n_iter, isz, igz, g0, g1):
+                src_ref, *rest, unroll, n_iter, isz, igz, g0, g1,
+                use_mxu=False):
+    if use_mxu:
+        d_ref, p0_out, p1_out, rec_ref, state = rest
+    else:
+        (p0_out, p1_out, rec_ref, state), d_ref = rest, None
+    lap = _make_lap(d_ref)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -98,7 +141,7 @@ def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
 
     for u in range(unroll):
         src_u = src_ref[j * unroll + u]
-        p = t1 * p1 - t2 * p0 + alpha * _lap(p1)
+        p = t1 * p1 - t2 * p0 + alpha * lap(p1)
         p = p + src_mask * (inj_row * src_u)[None, :]
         rec_ref[0, 0, j * unroll + u] = p[igz, g0:g1]
         p0, p1 = p1, p
@@ -113,11 +156,16 @@ def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
 
 
 def _tape_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
-                 src_ref, tape_ref, state, *, unroll, isz):
+                 src_ref, *rest, unroll, isz, use_mxu=False):
     """Haloed tape: block j holds [s_{jU-1}, s_{jU}, s_{jU+1..jU+U}]
     (U+2 states) where s_m is the post-injection wavefield after m
     forward steps (s_0 = p1_in, s_{-1} = p0_in). The 2-state halo means
     the backward sweep needs exactly ONE tape block per iteration."""
+    if use_mxu:
+        d_ref, tape_ref, state = rest
+    else:
+        (tape_ref, state), d_ref = rest, None
+    lap = _make_lap(d_ref)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -138,7 +186,7 @@ def _tape_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
     tape_ref[0, 0, 1, 0] = p1
     for u in range(unroll):
         src_u = src_ref[j * unroll + u]
-        p = t1 * p1 - t2 * p0 + alpha * _lap(p1)
+        p = t1 * p1 - t2 * p0 + alpha * lap(p1)
         p = p + src_mask * (inj_row * src_u)[None, :]
         tape_ref[0, 0, 2 + u, 0] = p
         p0, p1 = p1, p
@@ -148,9 +196,8 @@ def _tape_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
 
 
 def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
-                alpha_ref, t1_ref, t2_ref, src_ref,
-                gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref, ginj_ref,
-                carry, *, unroll, n_iter, chunk, isz, igz, g0, g1):
+                alpha_ref, t1_ref, t2_ref, src_ref, *rest,
+                unroll, n_iter, chunk, isz, igz, g0, g1, use_mxu=False):
     """Iteration jj reverses forward steps m = chunk-jj*U ... chunk-U+1-jj*U
     (1-based step index m; s_m = state after m steps) using the haloed
     tape block of forward iteration j = n_iter-1-jj: block[i] = s_{jU-1+i}.
@@ -161,6 +208,13 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
     with coefficient cotangents accumulated against taped states (summed
     over shots through the constant-index output blocks).
     """
+    if use_mxu:
+        (d_ref, gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref,
+         ginj_ref, carry) = rest
+    else:
+        (gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref, ginj_ref,
+         carry), d_ref = rest, None
+    lap = _make_lap(d_ref)
     s = pl.program_id(1)
     jj = pl.program_id(2)
 
@@ -204,10 +258,10 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
 
         ginj_acc = ginj_acc + v[isz, :] * src_ref[k]
 
-        new_v = u_c + t1 * v + _lap(alpha * v)
+        new_v = u_c + t1 * v + lap(alpha * v)
         new_u = -t2 * v
 
-        galpha_acc = galpha_acc + v * _lap(s_m1)
+        galpha_acc = galpha_acc + v * lap(s_m1)
         gt1_acc = gt1_acc + v * s_m1
         gt2_acc = gt2_acc - v * s_m2
         u_c, v = new_u, new_v
@@ -227,10 +281,8 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
 
 def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
                         rec_ct_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
-                        src_ref,
-                        gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref,
-                        ginj_ref, carry, *, unroll, n_iter, chunk, isz,
-                        igz, g0, g1):
+                        src_ref, *rest, unroll, n_iter, chunk, isz,
+                        igz, g0, g1, use_mxu=False):
     """Tape-free adjoint: reconstruct past wavefields by inverting the
     damped recursion instead of reading a stored tape.
 
@@ -247,6 +299,13 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
     Scratch carry layout: [0]=u (cotangent of s_{m-1}), [1]=v (cotangent
     of s_m), [2]=s_m, [3]=s_{m-1}.
     """
+    if use_mxu:
+        (d_ref, gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref,
+         ginj_ref, carry) = rest
+    else:
+        (gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref, ginj_ref,
+         carry), d_ref = rest, None
+    lap = _make_lap(d_ref)
     sidx = pl.program_id(1)
     jj = pl.program_id(2)
 
@@ -288,7 +347,7 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
         rec_full = rec_ct_ref[0, 0, k]
         v = v + rec_mask * rec_full[None, :]
 
-        lap_s = _lap(s_m1)
+        lap_s = lap(s_m1)
         inj_field = src_mask * (inj_row * src_ref[k])[None, :]
         s_m2 = (t1 * s_m1 + alpha * lap_s + inj_field - s_m) * inv_t2
 
@@ -297,7 +356,7 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
         gt1_acc = gt1_acc + v * s_m1
         gt2_acc = gt2_acc - v * s_m2
 
-        new_v = u_c + t1 * v + _lap(alpha * v)
+        new_v = u_c + t1 * v + lap(alpha * v)
         new_u = -t2 * v
         u_c, v = new_u, new_v
         s_m, s_m1 = s_m1, s_m2
@@ -348,14 +407,34 @@ def _rec_spec(chunk, ng):
                         memory_space=pltpu.VMEM)
 
 
+def _d_spec(wp):
+    """Whole banded-circulant matrix, shared by every program."""
+    return pl.BlockSpec((wp, wp), lambda b, s, j: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _layout_extras(layout, wp):
+    """(extra_inputs, extra_specs, use_mxu) for the chosen x-stencil
+    layout ('roll' = shipped 8-roll kernels, 'mxu' = lane stencil as one
+    MXU matmul per step — tools/kernel_layout_probe.py decides by
+    on-chip timing)."""
+    if layout == 'roll':
+        return [], [], False
+    if layout == 'mxu':
+        return [jnp.asarray(band_circulant_x(wp))], [_d_spec(wp)], True
+    raise ValueError(f"unknown x-stencil layout: {layout!r} "
+                     "(expected 'roll' or 'mxu')")
+
+
 def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
-             interpret=False):
+             layout='roll', interpret=False):
     b, ns, hp, wp = p0.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     ng = g1 - g0
     n_iter = chunk // unroll
+    extra, extra_specs, use_mxu = _layout_extras(layout, wp)
     kern = partial(_fwd_kernel, unroll=unroll, n_iter=n_iter, isz=geom.isz,
-                   igz=geom.igz, g0=g0, g1=g1)
+                   igz=geom.igz, g0=g0, g1=g1, use_mxu=use_mxu)
     return pl.pallas_call(
         kern,
         grid=(b, ns, n_iter),
@@ -367,7 +446,7 @@ def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
             _coef_spec(hp, wp),
             _inj_spec(wp),
             _src_spec(chunk),
-        ],
+        ] + extra_specs,
         out_specs=[
             _field_spec(hp, wp),
             _field_spec(hp, wp),
@@ -381,14 +460,16 @@ def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(p0, p1, alpha, t1, t2, inj, src_chunk)
+    )(p0, p1, alpha, t1, t2, inj, src_chunk, *extra)
 
 
 def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
-              unroll, interpret=False):
+              unroll, layout='roll', interpret=False):
     b, ns, hp, wp = p0.shape
     n_iter = chunk // unroll
-    kern = partial(_tape_kernel, unroll=unroll, isz=geom.isz)
+    extra, extra_specs, use_mxu = _layout_extras(layout, wp)
+    kern = partial(_tape_kernel, unroll=unroll, isz=geom.isz,
+                   use_mxu=use_mxu)
     return pl.pallas_call(
         kern,
         grid=(b, ns, n_iter),
@@ -400,7 +481,7 @@ def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
             _coef_spec(hp, wp),
             _inj_spec(wp),
             _src_spec(chunk),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec(
             (1, 1, unroll + 2, 1, hp, wp),
             lambda b_, s, j: (b_, j, 0, s, 0, 0),
@@ -410,17 +491,19 @@ def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(p0, p1, alpha, t1, t2, inj, src_chunk)
+    )(p0, p1, alpha, t1, t2, inj, src_chunk, *extra)
 
 
 def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
-             *, geom, chunk, unroll, interpret=False):
+             *, geom, chunk, unroll, layout='roll', interpret=False):
     b, ns, hp, wp = gp0o.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     ng = g1 - g0
     n_iter = chunk // unroll
+    extra, extra_specs, use_mxu = _layout_extras(layout, wp)
     kern = partial(_bwd_kernel, unroll=unroll, n_iter=n_iter, chunk=chunk,
-                   isz=geom.isz, igz=geom.igz, g0=g0, g1=g1)
+                   isz=geom.isz, igz=geom.igz, g0=g0, g1=g1,
+                   use_mxu=use_mxu)
     tape_spec = pl.BlockSpec(
         (1, 1, unroll + 2, 1, hp, wp),
         lambda b_, s, j: (b_, n_iter - 1 - j, 0, s, 0, 0),
@@ -437,7 +520,7 @@ def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
             _coef_spec(hp, wp),
             _coef_spec(hp, wp),
             _src_spec(chunk),
-        ],
+        ] + extra_specs,
         out_specs=[
             _field_spec(hp, wp),                         # g p0
             _field_spec(hp, wp),                         # g p1
@@ -457,16 +540,19 @@ def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
         scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk)
+    )(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk, *extra)
 
 
 def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
-                     src_chunk, *, geom, chunk, unroll, interpret=False):
+                     src_chunk, *, geom, chunk, unroll, layout='roll',
+                     interpret=False):
     b, ns, hp, wp = p0o.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     n_iter = chunk // unroll
+    extra, extra_specs, use_mxu = _layout_extras(layout, wp)
     kern = partial(_bwd_reverse_kernel, unroll=unroll, n_iter=n_iter,
-                   chunk=chunk, isz=geom.isz, igz=geom.igz, g0=g0, g1=g1)
+                   chunk=chunk, isz=geom.isz, igz=geom.igz, g0=g0, g1=g1,
+                   use_mxu=use_mxu)
     return pl.pallas_call(
         kern,
         grid=(b, ns, n_iter),
@@ -481,7 +567,7 @@ def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
             _coef_spec(hp, wp),
             _inj_spec(wp),
             _src_spec(chunk),
-        ],
+        ] + extra_specs,
         out_specs=[
             _field_spec(hp, wp),
             _field_spec(hp, wp),
@@ -501,18 +587,20 @@ def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
         scratch_shapes=[pltpu.VMEM((4, hp, wp), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj, src_chunk)
+    )(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj, src_chunk, *extra)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
-                 unroll, mode='reverse', interpret=False):
+                 unroll, mode='reverse', interpret=False, layout='roll'):
     """One chunk of FD time steps on TPU. Returns (p0', p1', recs) with
     recs of shape (B, ns, chunk, ng). ``mode`` picks the adjoint
-    implementation ('reverse' | 'tape'); ``interpret=True`` runs the
-    kernels in the Pallas interpreter (CPU CI)."""
+    implementation ('reverse' | 'tape'); ``layout`` picks the x-stencil
+    implementation ('roll' | 'mxu' — see band_circulant_x);
+    ``interpret=True`` runs the kernels in the Pallas interpreter
+    (CPU CI)."""
     return _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk,
-                    geom=geom, chunk=chunk, unroll=unroll,
+                    geom=geom, chunk=chunk, unroll=unroll, layout=layout,
                     interpret=interpret)
 
 
@@ -522,6 +610,14 @@ def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
 # bound on min(t2) and falls back to 'tape' when reconstruction would be
 # unstable (see _t2_lower_bound).
 ADJOINT_MODE = 'reverse'
+
+# Default x-stencil layout. 'roll' = 4 sublane + 4 lane rolls per step;
+# 'mxu' moves the lane half onto the MXU as one banded-circulant matmul
+# (tools/kernel_layout_probe.py's 'mxu_x' variant, VERDICT r4 Next #4).
+# Switch the default only on a measured on-chip win
+# (tools/kernel_bench.py under both RDT_X_STENCIL values).
+import os as _os
+X_STENCIL_LAYOUT = _os.environ.get('RDT_X_STENCIL', 'roll')
 
 # Framework-wide velocity ceiling (utils/data_trans.py: v ∈ [1500, 4500]
 # m/s). kappa grows with the sample's vmin, so this bounds the sponge
@@ -542,14 +638,15 @@ def _t2_lower_bound(geom) -> float:
 
 
 def _pallas_chunk_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
-                      unroll, mode, interpret):
+                      unroll, mode, interpret, layout):
     out = pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
-                       unroll, mode, interpret)
+                       unroll, mode, interpret, layout)
     p0o, p1o, _ = out
     return out, (p0, p1, p0o, p1o, alpha, t1, t2, inj, src_chunk)
 
 
-def _pallas_chunk_bwd(geom, chunk, unroll, mode, interpret, res, cts):
+def _pallas_chunk_bwd(geom, chunk, unroll, mode, interpret, layout, res,
+                      cts):
     p0, p1, p0o, p1o, alpha, t1, t2, inj, src_chunk = res
     gp0o, gp1o, grec = cts
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
@@ -560,14 +657,15 @@ def _pallas_chunk_bwd(geom, chunk, unroll, mode, interpret, res, cts):
         gp0, gp1, galpha, gt1, gt2, ginj = _run_bwd_reverse(
             p0o, p1o, gp0o, gp1o, grec_full, alpha, t1, t2, inj,
             src_chunk, geom=geom, chunk=chunk, unroll=unroll,
-            interpret=interpret)
+            layout=layout, interpret=interpret)
     else:
         tape = _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk,
                          geom=geom, chunk=chunk, unroll=unroll,
-                         interpret=interpret)
+                         layout=layout, interpret=interpret)
         gp0, gp1, galpha, gt1, gt2, ginj = _run_bwd(
             tape, gp0o, gp1o, grec_full, alpha, t1, t2, src_chunk,
-            geom=geom, chunk=chunk, unroll=unroll, interpret=interpret)
+            geom=geom, chunk=chunk, unroll=unroll, layout=layout,
+            interpret=interpret)
     # The source wavelet is a config constant; its cotangent is unused.
     gsrc = jnp.zeros_like(src_chunk)
     return gp0, gp1, galpha, gt1, gt2, ginj, gsrc
@@ -587,7 +685,7 @@ def build_injection_field(beta_pts, isx, wp):
 
 
 def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
-                    mode=None, interpret=False):
+                    mode=None, layout=None, interpret=False):
     """Adapter with the (carry, src_chunk) -> (carry, recs) signature the
     scan in solvers/acoustic.py:forward_modeling expects. ``recs`` comes
     back as (chunk, B, ns, ng) to match the XLA path.
@@ -595,7 +693,8 @@ def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
     ``mode=None`` selects ADJOINT_MODE, downgraded to 'tape' when the
     host-side bound on min(t2) falls below the stability guard (strong
     sponge / large dt would otherwise amplify fp32 error in the
-    reconstruction divide, ADVICE r1)."""
+    reconstruction divide, ADVICE r1). ``layout=None`` selects
+    X_STENCIL_LAYOUT (env RDT_X_STENCIL)."""
     if not geom.receivers_contiguous:
         raise NotImplementedError(
             'pallas backend requires a contiguous receiver line; '
@@ -604,6 +703,8 @@ def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
         mode = ADJOINT_MODE
         if mode == 'reverse' and _t2_lower_bound(geom) < _T2_GUARD:
             mode = 'tape'
+    if layout is None:
+        layout = X_STENCIL_LAYOUT
     wp = alpha.shape[-1]
     inj = build_injection_field(beta_pts, geom.isx, wp)
     unroll = pick_unroll(chunk)
@@ -612,7 +713,7 @@ def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
         p0, p1 = carry
         p0o, p1o, recs = pallas_chunk(p0, p1, alpha, temp1, temp2, inj,
                                       src_chunk, geom, chunk, unroll,
-                                      mode, interpret)
+                                      mode, interpret, layout)
         return (p0o, p1o), jnp.transpose(recs, (2, 0, 1, 3))
 
     return chunk_fn

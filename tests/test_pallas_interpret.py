@@ -123,3 +123,40 @@ def test_interpret_uneven_chunk_and_value_grad():
     assert np.isfinite(float(val)) and float(val) > 0
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+@pytest.mark.parametrize('mode', ['reverse', 'tape'])
+def test_mxu_layout_matches_roll(monkeypatch, mode):
+    """x-stencil layout 'mxu' (lane stencil as one banded-circulant MXU
+    matmul, tools/kernel_layout_probe.py 'mxu_x') must reproduce the
+    shipped 'roll' layout bit-for-tolerance in forward AND gradient —
+    the layout is a pure implementation swap of the same operator."""
+    mk = _ops()
+    v = _two_layer()
+
+    def loss(op):
+        return lambda x: jnp.sum(op._forward(x) ** 2)
+
+    s_roll = np.asarray(mk('pallas_interpret')(v))
+    g_roll = np.asarray(
+        jax.grad(loss(mk('pallas_interpret', adjoint=mode)))(v))
+
+    monkeypatch.setattr(stencil, 'X_STENCIL_LAYOUT', 'mxu')
+    s_mxu = np.asarray(mk('pallas_interpret')(v))
+    g_mxu = np.asarray(
+        jax.grad(loss(mk('pallas_interpret', adjoint=mode)))(v))
+
+    np.testing.assert_allclose(s_mxu, s_roll, rtol=2e-5, atol=1e-7)
+    denom = np.max(np.abs(g_roll)) + 1e-12
+    assert np.max(np.abs(g_mxu - g_roll)) / denom < 1e-5, mode
+
+
+def test_band_circulant_matches_lane_stencil():
+    """p @ D == the lane-axis half of the 4th-order circular stencil."""
+    wp = 24
+    rng = np.random.RandomState(3)
+    p = rng.randn(8, wp).astype(np.float32)
+    d = stencil.band_circulant_x(wp)
+    want = (stencil.C2 * (np.roll(p, -1, 1) + np.roll(p, 1, 1))
+            + stencil.C3 * (np.roll(p, -2, 1) + np.roll(p, 2, 1)))
+    np.testing.assert_allclose(p.astype(np.float64) @ d, want, atol=1e-5)
