@@ -53,6 +53,17 @@ def pick_unroll(chunk: int) -> int:
     return 1
 
 
+def pick_even_unroll(chunk: int) -> int:
+    """Largest EVEN unroll dividing the chunk (the 'halo' forward kernel
+    ping-pongs its two haloed scratch states, so the per-iteration step
+    count must be even to preserve the state[0]=p0/state[1]=p1 invariant
+    across grid iterations). Returns 0 when chunk has no even divisor."""
+    for u in (10, 8, 4, 2):
+        if chunk % u == 0:
+            return u
+    return 0
+
+
 # The v5e core has 128 MB of VMEM; the Mosaic default scoped limit is
 # 16 MB. The haloed tape block + unrolled adjoint temporaries need more.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -117,13 +128,57 @@ def _row_mask(hp, wp, row):
 
 def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
                 src_ref, *rest, unroll, n_iter, isz, igz, g0, g1,
-                use_mxu=False):
-    if use_mxu:
+                x_layout='roll'):
+    if x_layout == 'mxu':
         d_ref, p0_out, p1_out, rec_ref, state = rest
     else:
         (p0_out, p1_out, rec_ref, state), d_ref = rest, None
-    lap = _make_lap(d_ref)
     j = pl.program_id(2)
+    alpha = alpha_ref[0, 0]
+    t1 = t1_ref[0, 0]
+    t2 = t2_ref[0, 0]
+    inj_row = inj_ref[0, 0, 0]                        # (Wp,)
+    hp, wp = p0_ref.shape[-2], p0_ref.shape[-1]
+    src_mask = _row_mask(hp, wp, isz)
+
+    if x_layout == 'halo':
+        # State kept as (2, Hp, Wp+4): interior at [:, 2:Wp+2], halo
+        # columns replicate the circular wrap, so the lane-axis stencil
+        # becomes 4 static unaligned value slices instead of 4
+        # multi-cycle lane rolls (tools/kernel_layout_probe.py 'halo').
+        # Ping-pong between state[0]/state[1]; unroll is even (caller
+        # enforces via pick_even_unroll), so the state[0]=p0/state[1]=p1
+        # invariant holds at every grid-iteration boundary.
+        @pl.when(j == 0)
+        def _():
+            for k, ref in ((0, p0_ref), (1, p1_ref)):
+                p = ref[0, 0]
+                state[k, :, 2:wp + 2] = p
+                state[k, :, 0:2] = p[:, wp - 2:wp]
+                state[k, :, wp + 2:wp + 4] = p[:, 0:2]
+
+        for u in range(unroll):
+            src_u = src_ref[j * unroll + u]
+            src_i, dst = (u + 1) % 2, u % 2   # p1 = state[src_i]
+            p1x = state[src_i]                 # (Hp, Wp+4)
+            p1 = p1x[:, 2:wp + 2]
+            p0 = state[dst][:, 2:wp + 2]
+            xsum = (C2 * (p1x[:, 1:wp + 1] + p1x[:, 3:wp + 3])
+                    + C3 * (p1x[:, 0:wp] + p1x[:, 4:wp + 4]))
+            p = t1 * p1 - t2 * p0 + alpha * (_lap_y(p1) + xsum)
+            p = p + src_mask * (inj_row * src_u)[None, :]
+            rec_ref[0, 0, j * unroll + u] = p[igz, g0:g1]
+            state[dst, :, 2:wp + 2] = p
+            state[dst, :, 0:2] = p[:, wp - 2:wp]
+            state[dst, :, wp + 2:wp + 4] = p[:, 0:2]
+
+        @pl.when(j == n_iter - 1)
+        def _():
+            p0_out[0, 0] = state[0, :, 2:wp + 2]
+            p1_out[0, 0] = state[1, :, 2:wp + 2]
+        return
+
+    lap = _make_lap(d_ref)
 
     @pl.when(j == 0)
     def _():
@@ -132,12 +187,6 @@ def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
 
     p0 = state[0]
     p1 = state[1]
-    alpha = alpha_ref[0, 0]
-    t1 = t1_ref[0, 0]
-    t2 = t2_ref[0, 0]
-    inj_row = inj_ref[0, 0, 0]                        # (Wp,)
-    hp, wp = p0.shape
-    src_mask = _row_mask(hp, wp, isz)
 
     for u in range(unroll):
         src_u = src_ref[j * unroll + u]
@@ -156,12 +205,12 @@ def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
 
 
 def _tape_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
-                 src_ref, *rest, unroll, isz, use_mxu=False):
+                 src_ref, *rest, unroll, isz, x_layout='roll'):
     """Haloed tape: block j holds [s_{jU-1}, s_{jU}, s_{jU+1..jU+U}]
     (U+2 states) where s_m is the post-injection wavefield after m
     forward steps (s_0 = p1_in, s_{-1} = p0_in). The 2-state halo means
     the backward sweep needs exactly ONE tape block per iteration."""
-    if use_mxu:
+    if x_layout == 'mxu':
         d_ref, tape_ref, state = rest
     else:
         (tape_ref, state), d_ref = rest, None
@@ -197,7 +246,7 @@ def _tape_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
 
 def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
                 alpha_ref, t1_ref, t2_ref, src_ref, *rest,
-                unroll, n_iter, chunk, isz, igz, g0, g1, use_mxu=False):
+                unroll, n_iter, chunk, isz, igz, g0, g1, x_layout='roll'):
     """Iteration jj reverses forward steps m = chunk-jj*U ... chunk-U+1-jj*U
     (1-based step index m; s_m = state after m steps) using the haloed
     tape block of forward iteration j = n_iter-1-jj: block[i] = s_{jU-1+i}.
@@ -208,7 +257,7 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
     with coefficient cotangents accumulated against taped states (summed
     over shots through the constant-index output blocks).
     """
-    if use_mxu:
+    if x_layout == 'mxu':
         (d_ref, gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref,
          ginj_ref, carry) = rest
     else:
@@ -282,7 +331,7 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
 def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
                         rec_ct_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
                         src_ref, *rest, unroll, n_iter, chunk, isz,
-                        igz, g0, g1, use_mxu=False):
+                        igz, g0, g1, x_layout='roll'):
     """Tape-free adjoint: reconstruct past wavefields by inverting the
     damped recursion instead of reading a stored tape.
 
@@ -299,7 +348,7 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
     Scratch carry layout: [0]=u (cotangent of s_{m-1}), [1]=v (cotangent
     of s_m), [2]=s_m, [3]=s_{m-1}.
     """
-    if use_mxu:
+    if x_layout == 'mxu':
         (d_ref, gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref,
          ginj_ref, carry) = rest
     else:
@@ -414,16 +463,25 @@ def _d_spec(wp):
 
 
 def _layout_extras(layout, wp):
-    """(extra_inputs, extra_specs, use_mxu) for the chosen x-stencil
-    layout ('roll' = shipped 8-roll kernels, 'mxu' = lane stencil as one
-    MXU matmul per step — tools/kernel_layout_probe.py decides by
-    on-chip timing)."""
-    if layout == 'roll':
-        return [], [], False
+    """(extra_inputs, extra_specs) for the chosen x-stencil layout
+    ('roll' = shipped 8-roll kernels; 'mxu' = lane stencil as one MXU
+    matmul per step; 'halo' = lane stencil as static slices over
+    redundant halo columns, forward kernel only —
+    tools/kernel_layout_probe.py decides by on-chip timing)."""
+    if layout in ('roll', 'halo'):
+        return [], []
     if layout == 'mxu':
-        return [jnp.asarray(band_circulant_x(wp))], [_d_spec(wp)], True
+        return [jnp.asarray(band_circulant_x(wp))], [_d_spec(wp)]
     raise ValueError(f"unknown x-stencil layout: {layout!r} "
-                     "(expected 'roll' or 'mxu')")
+                     "(expected 'roll', 'mxu' or 'halo')")
+
+
+def _adjoint_layout(layout):
+    """The tape/adjoint kernels implement 'roll' and 'mxu' only; under
+    'halo' they keep the shipped roll layout (the haloed cotangent sweep
+    would need per-step halo staging of taped states, negating the
+    savings — measure the forward win first)."""
+    return 'roll' if layout == 'halo' else layout
 
 
 def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
@@ -432,9 +490,11 @@ def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     ng = g1 - g0
     n_iter = chunk // unroll
-    extra, extra_specs, use_mxu = _layout_extras(layout, wp)
+    if layout == 'halo' and unroll % 2:
+        layout = 'roll'       # ping-pong invariant needs an even unroll
+    extra, extra_specs = _layout_extras(layout, wp)
     kern = partial(_fwd_kernel, unroll=unroll, n_iter=n_iter, isz=geom.isz,
-                   igz=geom.igz, g0=g0, g1=g1, use_mxu=use_mxu)
+                   igz=geom.igz, g0=g0, g1=g1, x_layout=layout)
     return pl.pallas_call(
         kern,
         grid=(b, ns, n_iter),
@@ -457,7 +517,8 @@ def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
             jax.ShapeDtypeStruct((b, ns, hp, wp), p0.dtype),
             jax.ShapeDtypeStruct((b, ns, chunk, ng), p0.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (2, hp, wp + (4 if layout == 'halo' else 0)), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(p0, p1, alpha, t1, t2, inj, src_chunk, *extra)
@@ -467,9 +528,10 @@ def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
               unroll, layout='roll', interpret=False):
     b, ns, hp, wp = p0.shape
     n_iter = chunk // unroll
-    extra, extra_specs, use_mxu = _layout_extras(layout, wp)
+    layout = _adjoint_layout(layout)
+    extra, extra_specs = _layout_extras(layout, wp)
     kern = partial(_tape_kernel, unroll=unroll, isz=geom.isz,
-                   use_mxu=use_mxu)
+                   x_layout=layout)
     return pl.pallas_call(
         kern,
         grid=(b, ns, n_iter),
@@ -500,10 +562,11 @@ def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     ng = g1 - g0
     n_iter = chunk // unroll
-    extra, extra_specs, use_mxu = _layout_extras(layout, wp)
+    layout = _adjoint_layout(layout)
+    extra, extra_specs = _layout_extras(layout, wp)
     kern = partial(_bwd_kernel, unroll=unroll, n_iter=n_iter, chunk=chunk,
                    isz=geom.isz, igz=geom.igz, g0=g0, g1=g1,
-                   use_mxu=use_mxu)
+                   x_layout=layout)
     tape_spec = pl.BlockSpec(
         (1, 1, unroll + 2, 1, hp, wp),
         lambda b_, s, j: (b_, n_iter - 1 - j, 0, s, 0, 0),
@@ -549,10 +612,11 @@ def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
     b, ns, hp, wp = p0o.shape
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     n_iter = chunk // unroll
-    extra, extra_specs, use_mxu = _layout_extras(layout, wp)
+    layout = _adjoint_layout(layout)
+    extra, extra_specs = _layout_extras(layout, wp)
     kern = partial(_bwd_reverse_kernel, unroll=unroll, n_iter=n_iter,
                    chunk=chunk, isz=geom.isz, igz=geom.igz, g0=g0, g1=g1,
-                   use_mxu=use_mxu)
+                   x_layout=layout)
     return pl.pallas_call(
         kern,
         grid=(b, ns, n_iter),
@@ -596,9 +660,9 @@ def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
     """One chunk of FD time steps on TPU. Returns (p0', p1', recs) with
     recs of shape (B, ns, chunk, ng). ``mode`` picks the adjoint
     implementation ('reverse' | 'tape'); ``layout`` picks the x-stencil
-    implementation ('roll' | 'mxu' — see band_circulant_x);
-    ``interpret=True`` runs the kernels in the Pallas interpreter
-    (CPU CI)."""
+    implementation ('roll' | 'mxu' | 'halo' — see band_circulant_x and
+    _adjoint_layout); ``interpret=True`` runs the kernels in the Pallas
+    interpreter (CPU CI)."""
     return _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk,
                     geom=geom, chunk=chunk, unroll=unroll, layout=layout,
                     interpret=interpret)
@@ -612,10 +676,13 @@ def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
 ADJOINT_MODE = 'reverse'
 
 # Default x-stencil layout. 'roll' = 4 sublane + 4 lane rolls per step;
-# 'mxu' moves the lane half onto the MXU as one banded-circulant matmul
-# (tools/kernel_layout_probe.py's 'mxu_x' variant, VERDICT r4 Next #4).
-# Switch the default only on a measured on-chip win
-# (tools/kernel_bench.py under both RDT_X_STENCIL values).
+# 'mxu' moves the lane half onto the MXU as one banded-circulant matmul;
+# 'halo' keeps the forward wavefield with redundant wrap columns so the
+# lane stencil becomes static slices (adjoints stay 'roll' under it —
+# see _adjoint_layout). Both are the layout probe's candidates
+# (tools/kernel_layout_probe.py, VERDICT r4 Next #4). Switch the default
+# only on a measured on-chip win (tools/kernel_bench.py under each
+# RDT_X_STENCIL value).
 import os as _os
 X_STENCIL_LAYOUT = _os.environ.get('RDT_X_STENCIL', 'roll')
 
@@ -707,7 +774,14 @@ def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
         layout = X_STENCIL_LAYOUT
     wp = alpha.shape[-1]
     inj = build_injection_field(beta_pts, geom.isx, wp)
-    unroll = pick_unroll(chunk)
+    if layout == 'halo':
+        # halo's scratch ping-pong needs an even per-iteration step
+        # count; an odd chunk has none, so keep the shipped layout there.
+        unroll = pick_even_unroll(chunk) or pick_unroll(chunk)
+        if unroll % 2:
+            layout = 'roll'
+    else:
+        unroll = pick_unroll(chunk)
 
     def chunk_fn(carry, src_chunk):
         p0, p1 = carry

@@ -125,12 +125,14 @@ def test_interpret_uneven_chunk_and_value_grad():
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
+@pytest.mark.parametrize('layout', ['mxu', 'halo'])
 @pytest.mark.parametrize('mode', ['reverse', 'tape'])
-def test_mxu_layout_matches_roll(monkeypatch, mode):
-    """x-stencil layout 'mxu' (lane stencil as one banded-circulant MXU
-    matmul, tools/kernel_layout_probe.py 'mxu_x') must reproduce the
-    shipped 'roll' layout bit-for-tolerance in forward AND gradient —
-    the layout is a pure implementation swap of the same operator."""
+def test_alt_layouts_match_roll(monkeypatch, mode, layout):
+    """x-stencil layouts 'mxu' (lane stencil as one banded-circulant MXU
+    matmul) and 'halo' (static slices over redundant wrap columns,
+    forward kernel) must reproduce the shipped 'roll' layout
+    bit-for-tolerance in forward AND gradient — a layout is a pure
+    implementation swap of the same operator."""
     mk = _ops()
     v = _two_layer()
 
@@ -141,14 +143,14 @@ def test_mxu_layout_matches_roll(monkeypatch, mode):
     g_roll = np.asarray(
         jax.grad(loss(mk('pallas_interpret', adjoint=mode)))(v))
 
-    monkeypatch.setattr(stencil, 'X_STENCIL_LAYOUT', 'mxu')
-    s_mxu = np.asarray(mk('pallas_interpret')(v))
-    g_mxu = np.asarray(
+    monkeypatch.setattr(stencil, 'X_STENCIL_LAYOUT', layout)
+    s_alt = np.asarray(mk('pallas_interpret')(v))
+    g_alt = np.asarray(
         jax.grad(loss(mk('pallas_interpret', adjoint=mode)))(v))
 
-    np.testing.assert_allclose(s_mxu, s_roll, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(s_alt, s_roll, rtol=2e-5, atol=1e-7)
     denom = np.max(np.abs(g_roll)) + 1e-12
-    assert np.max(np.abs(g_mxu - g_roll)) / denom < 1e-5, mode
+    assert np.max(np.abs(g_alt - g_roll)) / denom < 1e-5, (mode, layout)
 
 
 def test_band_circulant_matches_lane_stencil():
@@ -160,3 +162,14 @@ def test_band_circulant_matches_lane_stencil():
     want = (stencil.C2 * (np.roll(p, -1, 1) + np.roll(p, 1, 1))
             + stencil.C3 * (np.roll(p, -2, 1) + np.roll(p, 2, 1)))
     np.testing.assert_allclose(p.astype(np.float64) @ d, want, atol=1e-5)
+
+
+def test_halo_layout_odd_chunk_falls_back(monkeypatch):
+    """chunk=5 has no even unroll, so 'halo' must silently keep the
+    shipped layout and still match the XLA stepper."""
+    monkeypatch.setattr(stencil, 'X_STENCIL_LAYOUT', 'halo')
+    mk = _ops(nt=20, chunk=5)
+    v = _two_layer()
+    s_xla = np.asarray(mk('xla')(v))
+    s_pal = np.asarray(mk('pallas_interpret')(v))
+    np.testing.assert_allclose(s_pal, s_xla, rtol=2e-5, atol=1e-7)

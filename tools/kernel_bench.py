@@ -66,8 +66,12 @@ def main(argv=None):
         float(jnp.sum(r))
         dt = (time.time() - t0) / args.reps
         per_sample = dt / args.batch * 1e3
+        from red_diffeq_tpu.ops.stencil import ADJOINT_MODE, \
+            X_STENCIL_LAYOUT
         print(json.dumps({'what': tag, 'batch': args.batch,
                           'nt': args.nt,
+                          'layout': X_STENCIL_LAYOUT,
+                          'adjoint': args.adjoint or ADJOINT_MODE,
                           'ms_per_call': round(dt * 1e3, 2),
                           'ms_per_sample': round(per_sample, 2)}),
               flush=True)
