@@ -93,7 +93,8 @@ def band_circulant_x(wp: int) -> np.ndarray:
     ``p @ D`` equals the lane-axis (x) half of ``_lap``: C2 on the ±1
     circular off-diagonals, C3 on ±2. Used by the 'mxu' x-stencil
     layout (tools/kernel_layout_probe.py 'mxu_x' variant) to move the
-    4 lane-axis rolls per step onto the otherwise-idle MXU."""
+    4 lane-axis rolls per step onto the otherwise-idle MXU. The same
+    construction on Hp gives the sublane half (``E @ p``, 'mxu_xy')."""
     d = np.zeros((wp, wp), np.float32)
     idx = np.arange(wp)
     for off, c in ((1, C2), (-1, C2), (2, C3), (-2, C3)):
@@ -101,23 +102,43 @@ def band_circulant_x(wp: int) -> np.ndarray:
     return d
 
 
-def _make_lap(d_ref):
+def _make_lap(d_ref, e_ref=None):
     """Laplacian closure for one kernel invocation: the shipped 8-roll
-    layout when ``d_ref`` is None, else y-rolls + one MXU matmul against
-    the banded circulant (fp32-exact via HIGHEST precision — a 1000-step
-    recursion amplifies bf16-input dot error past the 3e-6 adjoint
-    parity bar). D is symmetric, so the same closure is valid in the
-    adjoint kernels (the Laplacian stays self-adjoint)."""
+    layout when ``d_ref`` is None; y-rolls + one MXU matmul against the
+    banded circulant when only ``d_ref`` is given ('mxu'); zero rolls —
+    ``E @ p + p @ D`` — when ``e_ref`` is given too ('mxu_xy').
+    fp32-exact via HIGHEST precision — a 1000-step recursion amplifies
+    bf16-input dot error past the 3e-6 adjoint parity bar. D and E are
+    symmetric, so the same closure is valid in the adjoint kernels
+    (the Laplacian stays self-adjoint)."""
     if d_ref is None:
         return _lap
     d = d_ref[...]
+    if e_ref is None:
+        def lap(p):
+            return _lap_y(p) + jnp.dot(
+                p, d, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        return lap
+    e = e_ref[...]
 
     def lap(p):
-        return _lap_y(p) + jnp.dot(
-            p, d, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        return (jnp.dot(e, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                + jnp.dot(p, d, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
 
     return lap
+
+
+def _split_layout_refs(rest, x_layout):
+    """Peel the layout's extra input refs off a kernel's varargs:
+    returns (d_ref, e_ref, remaining_refs)."""
+    if x_layout == 'mxu':
+        return rest[0], None, rest[1:]
+    if x_layout == 'mxu_xy':
+        return rest[0], rest[1], rest[2:]
+    return None, None, rest
 
 
 def _row_mask(hp, wp, row):
@@ -129,10 +150,8 @@ def _row_mask(hp, wp, row):
 def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
                 src_ref, *rest, unroll, n_iter, isz, igz, g0, g1,
                 x_layout='roll'):
-    if x_layout == 'mxu':
-        d_ref, p0_out, p1_out, rec_ref, state = rest
-    else:
-        (p0_out, p1_out, rec_ref, state), d_ref = rest, None
+    d_ref, e_ref, rest = _split_layout_refs(rest, x_layout)
+    p0_out, p1_out, rec_ref, state = rest
     j = pl.program_id(2)
     alpha = alpha_ref[0, 0]
     t1 = t1_ref[0, 0]
@@ -178,7 +197,7 @@ def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
             p1_out[0, 0] = state[1, :, 2:wp + 2]
         return
 
-    lap = _make_lap(d_ref)
+    lap = _make_lap(d_ref, e_ref)
 
     @pl.when(j == 0)
     def _():
@@ -210,11 +229,9 @@ def _tape_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
     (U+2 states) where s_m is the post-injection wavefield after m
     forward steps (s_0 = p1_in, s_{-1} = p0_in). The 2-state halo means
     the backward sweep needs exactly ONE tape block per iteration."""
-    if x_layout == 'mxu':
-        d_ref, tape_ref, state = rest
-    else:
-        (tape_ref, state), d_ref = rest, None
-    lap = _make_lap(d_ref)
+    d_ref, e_ref, rest = _split_layout_refs(rest, x_layout)
+    tape_ref, state = rest
+    lap = _make_lap(d_ref, e_ref)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -257,13 +274,10 @@ def _bwd_kernel(tape_ref, gp0_out_ref, gp1_out_ref, rec_ct_ref,
     with coefficient cotangents accumulated against taped states (summed
     over shots through the constant-index output blocks).
     """
-    if x_layout == 'mxu':
-        (d_ref, gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref,
-         ginj_ref, carry) = rest
-    else:
-        (gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref, ginj_ref,
-         carry), d_ref = rest, None
-    lap = _make_lap(d_ref)
+    d_ref, e_ref, rest = _split_layout_refs(rest, x_layout)
+    (gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref, ginj_ref,
+     carry) = rest
+    lap = _make_lap(d_ref, e_ref)
     s = pl.program_id(1)
     jj = pl.program_id(2)
 
@@ -348,13 +362,10 @@ def _bwd_reverse_kernel(p0_out_ref, p1_out_ref, gp0_out_ref, gp1_out_ref,
     Scratch carry layout: [0]=u (cotangent of s_{m-1}), [1]=v (cotangent
     of s_m), [2]=s_m, [3]=s_{m-1}.
     """
-    if x_layout == 'mxu':
-        (d_ref, gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref,
-         ginj_ref, carry) = rest
-    else:
-        (gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref, ginj_ref,
-         carry), d_ref = rest, None
-    lap = _make_lap(d_ref)
+    d_ref, e_ref, rest = _split_layout_refs(rest, x_layout)
+    (gp0_ref, gp1_ref, galpha_ref, gt1_ref, gt2_ref, ginj_ref,
+     carry) = rest
+    lap = _make_lap(d_ref, e_ref)
     sidx = pl.program_id(1)
     jj = pl.program_id(2)
 
@@ -456,24 +467,29 @@ def _rec_spec(chunk, ng):
                         memory_space=pltpu.VMEM)
 
 
-def _d_spec(wp):
+def _d_spec(n):
     """Whole banded-circulant matrix, shared by every program."""
-    return pl.BlockSpec((wp, wp), lambda b, s, j: (0, 0),
+    return pl.BlockSpec((n, n), lambda b, s, j: (0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _layout_extras(layout, wp):
+def _layout_extras(layout, hp, wp):
     """(extra_inputs, extra_specs) for the chosen x-stencil layout
     ('roll' = shipped 8-roll kernels; 'mxu' = lane stencil as one MXU
-    matmul per step; 'halo' = lane stencil as static slices over
-    redundant halo columns, forward kernel only —
-    tools/kernel_layout_probe.py decides by on-chip timing)."""
+    matmul per step; 'mxu_xy' = zero rolls, both stencil directions as
+    MXU matmuls; 'halo' = lane stencil as static slices over redundant
+    halo columns, forward kernel only — tools/kernel_layout_probe.py
+    decides by on-chip timing)."""
     if layout in ('roll', 'halo'):
         return [], []
     if layout == 'mxu':
         return [jnp.asarray(band_circulant_x(wp))], [_d_spec(wp)]
+    if layout == 'mxu_xy':
+        return ([jnp.asarray(band_circulant_x(wp)),
+                 jnp.asarray(band_circulant_x(hp))],
+                [_d_spec(wp), _d_spec(hp)])
     raise ValueError(f"unknown x-stencil layout: {layout!r} "
-                     "(expected 'roll', 'mxu' or 'halo')")
+                     "(expected 'roll', 'mxu', 'mxu_xy' or 'halo')")
 
 
 def _adjoint_layout(layout):
@@ -492,7 +508,7 @@ def _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk, unroll,
     n_iter = chunk // unroll
     if layout == 'halo' and unroll % 2:
         layout = 'roll'       # ping-pong invariant needs an even unroll
-    extra, extra_specs = _layout_extras(layout, wp)
+    extra, extra_specs = _layout_extras(layout, hp, wp)
     kern = partial(_fwd_kernel, unroll=unroll, n_iter=n_iter, isz=geom.isz,
                    igz=geom.igz, g0=g0, g1=g1, x_layout=layout)
     return pl.pallas_call(
@@ -529,7 +545,7 @@ def _run_tape(p0, p1, alpha, t1, t2, inj, src_chunk, *, geom, chunk,
     b, ns, hp, wp = p0.shape
     n_iter = chunk // unroll
     layout = _adjoint_layout(layout)
-    extra, extra_specs = _layout_extras(layout, wp)
+    extra, extra_specs = _layout_extras(layout, hp, wp)
     kern = partial(_tape_kernel, unroll=unroll, isz=geom.isz,
                    x_layout=layout)
     return pl.pallas_call(
@@ -563,7 +579,7 @@ def _run_bwd(tape, gp0o, gp1o, grec, alpha, t1, t2, src_chunk,
     ng = g1 - g0
     n_iter = chunk // unroll
     layout = _adjoint_layout(layout)
-    extra, extra_specs = _layout_extras(layout, wp)
+    extra, extra_specs = _layout_extras(layout, hp, wp)
     kern = partial(_bwd_kernel, unroll=unroll, n_iter=n_iter, chunk=chunk,
                    isz=geom.isz, igz=geom.igz, g0=g0, g1=g1,
                    x_layout=layout)
@@ -613,7 +629,7 @@ def _run_bwd_reverse(p0o, p1o, gp0o, gp1o, grec, alpha, t1, t2, inj,
     g0, g1 = geom.igx[0], geom.igx[-1] + 1
     n_iter = chunk // unroll
     layout = _adjoint_layout(layout)
-    extra, extra_specs = _layout_extras(layout, wp)
+    extra, extra_specs = _layout_extras(layout, hp, wp)
     kern = partial(_bwd_reverse_kernel, unroll=unroll, n_iter=n_iter,
                    chunk=chunk, isz=geom.isz, igz=geom.igz, g0=g0, g1=g1,
                    x_layout=layout)
@@ -677,9 +693,10 @@ ADJOINT_MODE = 'reverse'
 
 # Default x-stencil layout. 'roll' = 4 sublane + 4 lane rolls per step;
 # 'mxu' moves the lane half onto the MXU as one banded-circulant matmul;
-# 'halo' keeps the forward wavefield with redundant wrap columns so the
-# lane stencil becomes static slices (adjoints stay 'roll' under it —
-# see _adjoint_layout). Both are the layout probe's candidates
+# 'mxu_xy' moves BOTH directions onto the MXU (zero rolls); 'halo' keeps
+# the forward wavefield with redundant wrap columns so the lane stencil
+# becomes static slices (adjoints stay 'roll' under it — see
+# _adjoint_layout). All are the layout probe's candidates
 # (tools/kernel_layout_probe.py, VERDICT r4 Next #4). Switch the default
 # only on a measured on-chip win (tools/kernel_bench.py under each
 # RDT_X_STENCIL value).

@@ -125,14 +125,15 @@ def test_interpret_uneven_chunk_and_value_grad():
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
-@pytest.mark.parametrize('layout', ['mxu', 'halo'])
+@pytest.mark.parametrize('layout', ['mxu', 'mxu_xy', 'halo'])
 @pytest.mark.parametrize('mode', ['reverse', 'tape'])
 def test_alt_layouts_match_roll(monkeypatch, mode, layout):
     """x-stencil layouts 'mxu' (lane stencil as one banded-circulant MXU
-    matmul) and 'halo' (static slices over redundant wrap columns,
-    forward kernel) must reproduce the shipped 'roll' layout
-    bit-for-tolerance in forward AND gradient — a layout is a pure
-    implementation swap of the same operator."""
+    matmul), 'mxu_xy' (zero rolls, both directions on MXU) and 'halo'
+    (static slices over redundant wrap columns, forward kernel) must
+    reproduce the shipped 'roll' layout bit-for-tolerance in forward AND
+    gradient — a layout is a pure implementation swap of the same
+    operator."""
     mk = _ops()
     v = _two_layer()
 

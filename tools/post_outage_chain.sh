@@ -69,6 +69,7 @@ run layout_probe  python tools/kernel_layout_probe.py --nt 1000 --programs 20 --
 run layout_ab_roll env RDT_X_STENCIL=roll python tools/kernel_bench.py --reps 3
 run layout_ab_mxu  env RDT_X_STENCIL=mxu  python tools/kernel_bench.py --reps 3
 run layout_ab_halo env RDT_X_STENCIL=halo python tools/kernel_bench.py --reps 3
+run layout_ab_mxy  env RDT_X_STENCIL=mxu_xy python tools/kernel_bench.py --reps 3
 run_bench bench_b16     python bench.py --repeat 3 --batch 16
 run quality       python tools/eval_quality.py --n 4 --ts 300 --out QUALITY.md --save_curves docs/curves/openfwi
 run quality_corr  python tools/eval_quality.py --n 4 --ts 300 --noise_std 0.05 --missing_number 10 --obs refined --out QUALITY_corrupted.md
