@@ -13,7 +13,6 @@ Reference: red_diffeq/core/inversion.py:12-129. TPU-first redesign:
   (``use_scan=True``), eliminating per-step dispatch entirely;
 * randomness is explicit: a base key is split per step.
 """
-import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -118,12 +117,17 @@ class InversionEngine:
         FWIForward (two operators with equal geometry legitimately share
         a program); the callable object itself otherwise — holding it in
         the key keeps it alive, so a recycled id() can never alias a
-        stale program."""
+        stale program. The process-global x-stencil layout is part of
+        the key: pallas_chunk_fn bakes it into the traced program, so an
+        in-process layout flip (the A/B pattern) must not replay a
+        program compiled for the previous layout."""
         if hasattr(fwi_forward, 'geom'):
+            from red_diffeq_tpu.ops.stencil import X_STENCIL_LAYOUT
             return (fwi_forward.geom, fwi_forward.backend,
                     fwi_forward.chunk, fwi_forward.remat,
                     fwi_forward.normalize,
-                    getattr(fwi_forward, 'adjoint', None))
+                    getattr(fwi_forward, 'adjoint', None),
+                    X_STENCIL_LAYOUT)
         return fwi_forward
 
     def _cache_key(self, reg_name, ts, lr, reg_lambda, use_scan, mu_shape,
@@ -464,13 +468,8 @@ class InversionEngine:
             snapshot = {'step': i, 'mu': mu, 'opt_state': opt_state,
                         'metrics': merged}
             path.parent.mkdir(parents=True, exist_ok=True)
-            # Atomic replace: a kill mid-write (this repo's documented
-            # outage/kill-by-pidfile workflow) must not truncate the
-            # only snapshot and make the run unresumable.
-            tmp = path.with_suffix(path.suffix + '.tmp')
-            with open(tmp, 'wb') as f:
-                f.write(serialization.to_bytes(snapshot))
-            os.replace(tmp, path)
+            from red_diffeq_tpu.io.checkpoints import atomic_write_bytes
+            atomic_write_bytes(path, serialization.to_bytes(snapshot))
 
         metrics = {k: np.concatenate([p[k] for p in metric_parts])
                    for k in metric_parts[0]}

@@ -17,14 +17,21 @@ from flax import serialization
 import os
 
 
+def atomic_write_bytes(path, data: bytes) -> None:
+    """Write via tmp + os.replace so a kill mid-write can't truncate the
+    only copy (docs/outage_runbook.md: kill-by-pidfile is the normal
+    recovery workflow here). Shared by every checkpoint writer."""
+    path = Path(path)
+    tmp = path.with_suffix(path.suffix + '.tmp')
+    with open(tmp, 'wb') as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_params(params, path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    # Atomic replace so a kill mid-write can't truncate a checkpoint.
-    tmp = path.with_suffix(path.suffix + '.tmp')
-    with open(tmp, 'wb') as f:
-        f.write(serialization.to_bytes(params))
-    os.replace(tmp, path)
+    atomic_write_bytes(path, serialization.to_bytes(params))
 
 
 def load_params(path, template=None):

@@ -23,7 +23,6 @@ periodic EMA sampling. TPU-first differences:
   unavailable on this stack.
 """
 import json
-import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -389,12 +388,8 @@ class Trainer:
             'version': '0.1.0',
         }
         path = self.results_folder / f'model-{milestone}.ckpt'
-        # Atomic replace: a kill mid-write (outage workflow) must not
-        # leave a truncated milestone as the only copy.
-        tmp = path.with_suffix(path.suffix + '.tmp')
-        with open(tmp, 'wb') as f:
-            f.write(serialization.to_bytes(state))
-        os.replace(tmp, path)
+        from red_diffeq_tpu.io.checkpoints import atomic_write_bytes
+        atomic_write_bytes(path, serialization.to_bytes(state))
         # RNG sidecar: the numpy batch-index stream and the JAX noise key
         # must survive resume, or the run replays the constructor seed's
         # sequence (re-showing early batches and breaking the
@@ -431,10 +426,15 @@ class Trainer:
                 losses_file.read_text()).get('losses', [])
         # FID history must survive resume too, or the next milestone's
         # dump overwrites fid_scores.json with only post-resume entries.
+        # Truncate to entries at or before the resumed step — resuming
+        # an EARLIER milestone must not resurrect future entries that
+        # the re-run will append again (duplicate milestones).
         fid_file = self.results_folder / 'fid_scores.json'
         if fid_file.exists():
             try:
-                self.fid_scores = json.loads(fid_file.read_text())
+                scores = json.loads(fid_file.read_text())
+                self.fid_scores = [e for e in scores
+                                   if e.get('step', 0) <= self.step]
             except ValueError:
                 pass
         rng_file = self.results_folder / f'rng-{milestone}.npz'

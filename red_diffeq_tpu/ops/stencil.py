@@ -58,7 +58,7 @@ def pick_even_unroll(chunk: int) -> int:
     ping-pongs its two haloed scratch states, so the per-iteration step
     count must be even to preserve the state[0]=p0/state[1]=p1 invariant
     across grid iterations). Returns 0 when chunk has no even divisor."""
-    for u in (10, 8, 4, 2):
+    for u in (10, 8, 6, 4, 2):
         if chunk % u == 0:
             return u
     return 0
@@ -182,9 +182,16 @@ def _fwd_kernel(p0_ref, p1_ref, alpha_ref, t1_ref, t2_ref, inj_ref,
             p1x = state[src_i]                 # (Hp, Wp+4)
             p1 = p1x[:, 2:wp + 2]
             p0 = state[dst][:, 2:wp + 2]
-            xsum = (C2 * (p1x[:, 1:wp + 1] + p1x[:, 3:wp + 3])
-                    + C3 * (p1x[:, 0:wp] + p1x[:, 4:wp + 4]))
-            p = t1 * p1 - t2 * p0 + alpha * (_lap_y(p1) + xsum)
+            # Same association order as _lap (x-neighbors as slices:
+            # p1x[1+j] = p1[j-1] = roll(+1), etc.), so the halo forward
+            # is BITWISE identical to the roll forward — the reverse
+            # adjoint's inverse-recursion reconstruction assumes the
+            # roll grouping, and fp32 addition is order-sensitive.
+            lap_p1 = (C2 * (_roll(p1, 1, 0) + _roll(p1, -1, 0)
+                            + p1x[:, 1:wp + 1] + p1x[:, 3:wp + 3])
+                      + C3 * (_roll(p1, 2, 0) + _roll(p1, -2, 0)
+                              + p1x[:, 0:wp] + p1x[:, 4:wp + 4]))
+            p = t1 * p1 - t2 * p0 + alpha * lap_p1
             p = p + src_mask * (inj_row * src_u)[None, :]
             rec_ref[0, 0, j * unroll + u] = p[igz, g0:g1]
             state[dst, :, 2:wp + 2] = p
@@ -493,9 +500,9 @@ def _layout_extras(layout, hp, wp):
 
 
 def _adjoint_layout(layout):
-    """The tape/adjoint kernels implement 'roll' and 'mxu' only; under
-    'halo' they keep the shipped roll layout (the haloed cotangent sweep
-    would need per-step halo staging of taped states, negating the
+    """The tape/adjoint kernels implement 'roll', 'mxu' and 'mxu_xy';
+    under 'halo' they keep the shipped roll layout (the haloed cotangent
+    sweep would need per-step halo staging of taped states, negating the
     savings — measure the forward win first)."""
     return 'roll' if layout == 'halo' else layout
 
@@ -676,9 +683,9 @@ def pallas_chunk(p0, p1, alpha, t1, t2, inj, src_chunk, geom, chunk,
     """One chunk of FD time steps on TPU. Returns (p0', p1', recs) with
     recs of shape (B, ns, chunk, ng). ``mode`` picks the adjoint
     implementation ('reverse' | 'tape'); ``layout`` picks the x-stencil
-    implementation ('roll' | 'mxu' | 'halo' — see band_circulant_x and
-    _adjoint_layout); ``interpret=True`` runs the kernels in the Pallas
-    interpreter (CPU CI)."""
+    implementation ('roll' | 'mxu' | 'mxu_xy' | 'halo' — see
+    band_circulant_x and _adjoint_layout); ``interpret=True`` runs the
+    kernels in the Pallas interpreter (CPU CI)."""
     return _run_fwd(p0, p1, alpha, t1, t2, inj, src_chunk,
                     geom=geom, chunk=chunk, unroll=unroll, layout=layout,
                     interpret=interpret)
@@ -768,6 +775,29 @@ def build_injection_field(beta_pts, isx, wp):
     return inj[:, :, None, :]
 
 
+def resolve_run_config(geom, chunk, mode=None, layout=None):
+    """Resolve the EFFECTIVE (mode, layout, unroll) the kernels will run
+    with — including the silent downgrades: 'reverse' -> 'tape' when the
+    host-side min(t2) bound falls below the stability guard, and
+    'halo' -> 'roll' when the chunk has no even unroll (the halo scratch
+    ping-pong needs one). Benchmarks and logs should report THESE values
+    rather than the requested ones, or an A/B can label a measurement
+    with kernels that never executed."""
+    if mode is None:
+        mode = ADJOINT_MODE
+        if mode == 'reverse' and _t2_lower_bound(geom) < _T2_GUARD:
+            mode = 'tape'
+    if layout is None:
+        layout = X_STENCIL_LAYOUT
+    if layout == 'halo':
+        unroll = pick_even_unroll(chunk) or pick_unroll(chunk)
+        if unroll % 2:
+            layout = 'roll'
+    else:
+        unroll = pick_unroll(chunk)
+    return mode, layout, unroll
+
+
 def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
                     mode=None, layout=None, interpret=False):
     """Adapter with the (carry, src_chunk) -> (carry, recs) signature the
@@ -783,22 +813,9 @@ def pallas_chunk_fn(*, alpha, temp1, temp2, beta_pts, geom, chunk,
         raise NotImplementedError(
             'pallas backend requires a contiguous receiver line; '
             "use backend='xla' for scattered receivers")
-    if mode is None:
-        mode = ADJOINT_MODE
-        if mode == 'reverse' and _t2_lower_bound(geom) < _T2_GUARD:
-            mode = 'tape'
-    if layout is None:
-        layout = X_STENCIL_LAYOUT
+    mode, layout, unroll = resolve_run_config(geom, chunk, mode, layout)
     wp = alpha.shape[-1]
     inj = build_injection_field(beta_pts, geom.isx, wp)
-    if layout == 'halo':
-        # halo's scratch ping-pong needs an even per-iteration step
-        # count; an odd chunk has none, so keep the shipped layout there.
-        unroll = pick_even_unroll(chunk) or pick_unroll(chunk)
-        if unroll % 2:
-            layout = 'roll'
-    else:
-        unroll = pick_unroll(chunk)
 
     def chunk_fn(carry, src_chunk):
         p0, p1 = carry

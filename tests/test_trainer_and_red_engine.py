@@ -293,13 +293,17 @@ def test_fid_history_survives_resume(tmp_path):
                  train_num_steps=2, save_and_sample_every=2, num_samples=4,
                  results_folder=str(tmp_path), data_parallel=False)
     tr.save(1)
-    prior = [{'step': 2, 'milestone': 1, 'fid_frozen': 12.5}]
+    # entries at/before the resumed step survive; LATER entries must be
+    # truncated (resuming an earlier milestone would otherwise resurrect
+    # future entries that the re-run appends again as duplicates)
+    prior = [{'step': 0, 'milestone': 1, 'fid_frozen': 12.5},
+             {'step': 99, 'milestone': 7, 'fid_frozen': 9.9}]
     (tmp_path / 'fid_scores.json').write_text(json.dumps(prior))
 
     tr2 = Trainer(diff, TensorDataset(data), train_batch_size=16,
                   train_num_steps=2, save_and_sample_every=2, num_samples=4,
                   results_folder=str(tmp_path), data_parallel=False)
     tr2.load(1)
-    assert tr2.fid_scores == prior
+    assert tr2.fid_scores == prior[:1]
     # milestone saves are atomic: no .tmp residue
     assert list(tmp_path.glob('*.tmp')) == []

@@ -66,12 +66,17 @@ def main(argv=None):
         float(jnp.sum(r))
         dt = (time.time() - t0) / args.reps
         per_sample = dt / args.batch * 1e3
-        from red_diffeq_tpu.ops.stencil import ADJOINT_MODE, \
-            X_STENCIL_LAYOUT
+        # Report the EFFECTIVE mode/layout (after the silent downgrades
+        # resolve_run_config applies), not the requested ones — the
+        # layout A/B decides the production default from these tags.
+        from red_diffeq_tpu.ops.stencil import resolve_run_config
+        eff_mode, eff_layout, eff_unroll = resolve_run_config(
+            geom, args.chunk, mode=args.adjoint)
         print(json.dumps({'what': tag, 'batch': args.batch,
                           'nt': args.nt,
-                          'layout': X_STENCIL_LAYOUT,
-                          'adjoint': args.adjoint or ADJOINT_MODE,
+                          'layout': eff_layout,
+                          'adjoint': eff_mode,
+                          'unroll': eff_unroll,
                           'ms_per_call': round(dt * 1e3, 2),
                           'ms_per_sample': round(per_sample, 2)}),
               flush=True)
