@@ -2,7 +2,7 @@
 
 .PHONY: install test test-tpu bench bench-smoke datagen pretrain quality \
   compare quality-marmousi quality-corrupted scaling milestone-eval \
-  synthetic-stats notebooks prewarm post-outage replicate-r1
+  synthetic-stats notebooks prewarm post-outage replicate-r1 layout-ab
 
 install:
 	pip install -e . --no-deps --no-build-isolation
@@ -29,6 +29,14 @@ post-outage:
 # The designated round-1 prior-recipe replication (docs/milestone_eval.md)
 replicate-r1:
 	sh tools/replicate_r1_prior.sh
+
+# 4-way x-stencil layout A/B on the production kernels (chip required;
+# flip ops/stencil.py X_STENCIL_LAYOUT only on a measured win)
+layout-ab:
+	RDT_X_STENCIL=roll   python tools/kernel_bench.py --reps 3
+	RDT_X_STENCIL=mxu    python tools/kernel_bench.py --reps 3
+	RDT_X_STENCIL=mxu_xy python tools/kernel_bench.py --reps 3
+	RDT_X_STENCIL=halo   python tools/kernel_bench.py --reps 3
 
 datagen:
 	red-diffeq-datagen --out dataset/OpenFWI --n 100
