@@ -215,6 +215,7 @@ def main(argv=None):
     per_sample = sorted(t / batch for t in times)
     s_per_sample = per_sample[len(per_sample) // 2]  # median
     final_ssim = float(np.mean([pm['ssim'][-1] for pm in per_model]))
+    from red_diffeq_tpu.ops.stencil import X_STENCIL_LAYOUT
     result = {
         'metric': METRIC,
         'value': round(s_per_sample, 3),
@@ -223,6 +224,10 @@ def main(argv=None):
         'batch': batch,
         'ts': ts,
         'backend': backend,
+        # provenance: which x-stencil layout produced this number
+        # (effective == requested here; bench uses chunk=20, which every
+        # layout supports without downgrade)
+        'layout': X_STENCIL_LAYOUT,
         'final_ssim_synthetic': round(final_ssim, 4),
         'obs': 'refined_dt/2_dx/2',
     }
