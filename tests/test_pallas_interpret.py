@@ -174,3 +174,25 @@ def test_halo_layout_odd_chunk_falls_back(monkeypatch):
     s_xla = np.asarray(mk('xla')(v))
     s_pal = np.asarray(mk('pallas_interpret')(v))
     np.testing.assert_allclose(s_pal, s_xla, rtol=2e-5, atol=1e-7)
+
+
+def test_resolve_run_config_downgrades():
+    """The effective-config resolver must mirror the kernels' silent
+    downgrades — benchmark tags are derived from it (round-5 review)."""
+    safe = Geometry.from_ctx(dict(n_grid=70, nt=1000, dx=10.0, dt=0.001,
+                                  nbc=120, f=15.0, sz=10, gz=10, ng=70,
+                                  ns=5))
+    # chunk=20: every layout supported as requested
+    assert stencil.resolve_run_config(safe, 20, None, 'halo') == \
+        ('reverse', 'halo', 10)
+    assert stencil.resolve_run_config(safe, 20, None, 'mxu_xy')[1] == 'mxu_xy'
+    # odd chunk: halo falls back to roll (no even unroll)
+    assert stencil.resolve_run_config(safe, 15, None, 'halo') == \
+        ('reverse', 'roll', 5)
+    # chunk divisible by 6 but not by 4/8/10: halo keeps a fat unroll
+    assert stencil.resolve_run_config(safe, 18, None, 'halo')[2] == 6
+    # harsh sponge: reverse downgrades to tape regardless of layout
+    harsh = Geometry.from_ctx(dict(n_grid=16, nt=40, dx=5.0, dt=0.001,
+                                   nbc=10, f=15.0, sz=10, gz=10, ng=16,
+                                   ns=2))
+    assert stencil.resolve_run_config(harsh, 20, None, None)[0] == 'tape'
