@@ -25,12 +25,26 @@ STATUS="$LOG/status.txt"
 : > "$STATUS"
 FAILED=0
 
+# Round-end guard: the driver benches on the SAME single chip right
+# after the round ends, and two concurrent chip users wedge the tunnel
+# (docs/outage_runbook.md). If /tmp/ROUND5_DEADLINE (epoch seconds)
+# exists, refuse to START a chip step within 40 min of it so the chip
+# is always free (and grant-reclaimed) for the graded bench.
+DEADLINE=$(cat /tmp/ROUND5_DEADLINE 2>/dev/null || echo 9999999999)
+past_deadline() {
+  [ "$(date +%s)" -gt "$((DEADLINE - 2400))" ]
+}
+
 # bench.py exits 0 with an {"error": ...} diagnostic line when the
 # device is unreachable (by design, for the driver) — that is still a
 # FAILED capture here, so gate on the error key as well as the rc.
 # bench steps self-retry transient faults; they get NO shell retry.
 run_bench() {
   name=$1; shift
+  if past_deadline; then
+    echo "SKIP $name (round deadline)" >> "$STATUS"
+    return
+  fi
   if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
     echo "ok   $name" >> "$STATUS"
   else
@@ -45,6 +59,10 @@ run_bench() {
 # publish_round.sh run_step.
 run() {
   name=$1; shift
+  if past_deadline; then
+    echo "SKIP $name (round deadline)" >> "$STATUS"
+    return
+  fi
   if "$@" > "$LOG/$name.log" 2>&1; then
     echo "ok   $name" >> "$STATUS"
   elif tail -n 25 "$LOG/$name.log" | grep -qi 'UNAVAILABLE'; then

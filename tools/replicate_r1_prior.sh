@@ -11,7 +11,21 @@
 set -ex
 cd "$(dirname "$0")/.."
 OUT=${1:-pretrained_models/replication_r1}
-red-diffeq-train \
+
+# Round-end guard (same rationale as post_outage_chain.sh): the driver
+# benches on this chip at round end; training must be dead and the
+# grant reclaimed by then. Self-cap the run to the time remaining
+# before /tmp/ROUND5_DEADLINE minus a 45-min margin; milestones land
+# every 2500 steps (atomic writes), so a timeout kill still yields
+# evaluable partial data. Skip entirely if <30 min would remain.
+DEADLINE=$(cat /tmp/ROUND5_DEADLINE 2>/dev/null || echo 9999999999)
+AVAIL=$((DEADLINE - $(date +%s) - 2700))
+if [ "$AVAIL" -lt 1800 ]; then
+  echo "SKIP replication: only ${AVAIL}s before round deadline" >&2
+  exit 0
+fi
+if [ "$AVAIL" -gt 10800 ]; then AVAIL=10800; fi
+timeout "$AVAIL" red-diffeq-train \
   --data_dir dataset/OpenFWI_20k/Velocity_Data \
   --batch_size 32 \
   --train_num_steps 40000 \
