@@ -186,7 +186,10 @@ def main(argv=None):
         lines += [f'| {s} | {l:.5f} |' for s, l in curve]
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text('\n'.join(lines) + '\n')
-    print(f'wrote {args.out}')
+    # Machine-readable sidecar so downstream tools (pick_best_milestone)
+    # select on the measured numbers instead of re-parsing the table.
+    args.out.with_suffix('.json').write_text(json.dumps(rows, indent=1))
+    print(f'wrote {args.out} (+ .json sidecar)')
 
 
 if __name__ == '__main__':

@@ -1,0 +1,121 @@
+#!/bin/sh
+# Post-VM-reset recovery chain (round 5, 2026-08-19). The host VM was
+# reset mid-round: every gitignored artifact died — the shipped prior
+# (model-synthetic-ema.ckpt), all milestone archives, and the datasets
+# (docs/outage_runbook.md, "VM reset"). This chain rebuilds the chip
+# evidence in strict priority order once the chip answers again:
+#
+#   1. headline bench            (no prior needed — random-init params
+#                                 run the identical program, so timing
+#                                 is unaffected; refreshes BENCH_LAST_GOOD)
+#   2. stencil-layout on-chip timing: bare-recursion probe + 4-way
+#      production A/B            (VERDICT r4 Next #4; no prior)
+#   3. batch-16 operating point  (VERDICT r4 Next #7; no prior)
+#   4. r1-recipe prior replication (VERDICT r4 Next #3 — now ALSO the
+#      prior-restoration path; dataset/OpenFWI_20k regenerated from the
+#      committed generator, seed 42; self-caps vs /tmp/ROUND5_DEADLINE)
+#   5. milestone eval of the replication run + EMA export of the best
+#   6. QUALITY regen with the restored prior (VERDICT r4 Next #5)
+#
+# Steps 5-6 only run if step 4 produced at least one milestone.
+# Chip-exclusive: never start a second chip user while this runs.
+#
+# Usage: sh tools/recovery_chain.sh [logdir]
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/recovery}
+mkdir -p "$LOG"
+STATUS="$LOG/status.txt"
+: > "$STATUS"
+FAILED=0
+
+# RDT_DEADLINE_FILE override exists for tests (drive the skip path
+# without touching the live /tmp/ROUND5_DEADLINE a watcher may use).
+DEADLINE=$(cat "${RDT_DEADLINE_FILE:-/tmp/ROUND5_DEADLINE}" 2>/dev/null \
+  || echo 9999999999)
+past_deadline() {
+  [ "$(date +%s)" -gt "$((DEADLINE - 2400))" ]
+}
+
+# Same step policies as tools/post_outage_chain.sh: bench.py self-retries
+# and emits an {"error": ...} diagnostic on unrecoverable failure (still
+# a FAILED capture here); non-bench steps get one shell retry on a
+# transient UNAVAILABLE (runbook mode 3).
+run_bench() {
+  name=$1; shift
+  if past_deadline; then
+    echo "SKIP $name (round deadline)" >> "$STATUS"; return
+  fi
+  if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
+    echo "ok   $name" >> "$STATUS"
+  else
+    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"; FAILED=1
+  fi
+}
+run() {
+  name=$1; shift
+  if past_deadline; then
+    echo "SKIP $name (round deadline)" >> "$STATUS"; return
+  fi
+  if "$@" > "$LOG/$name.log" 2>&1; then
+    echo "ok   $name" >> "$STATUS"
+  elif tail -n 25 "$LOG/$name.log" | grep -qi 'UNAVAILABLE'; then
+    echo "retrying $name after transient UNAVAILABLE" >&2
+    if "$@" > "$LOG/$name.retry.log" 2>&1; then
+      echo "ok   $name (after retry)" >> "$STATUS"
+    else
+      echo "FAIL $name (see $LOG/$name.retry.log)" >> "$STATUS"; FAILED=1
+    fi
+  else
+    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"; FAILED=1
+  fi
+}
+# Copy evidence into the repo as soon as each step lands — a second VM
+# reset must not take the measurements with it.
+EV=${RDT_EVIDENCE_DIR:-docs/chip_evidence_r5}
+snapshot() {
+  mkdir -p "$EV"
+  cp "$STATUS" "$LOG"/*.log "$EV"/ 2>/dev/null || true
+}
+
+run_bench bench    python bench.py --repeat 3
+snapshot
+run layout_probe   python tools/kernel_layout_probe.py --nt 1000 --programs 20 --reps 3
+run layout_ab_roll env RDT_X_STENCIL=roll   python tools/kernel_bench.py --reps 3
+run layout_ab_mxu  env RDT_X_STENCIL=mxu    python tools/kernel_bench.py --reps 3
+run layout_ab_halo env RDT_X_STENCIL=halo   python tools/kernel_bench.py --reps 3
+run layout_ab_mxy  env RDT_X_STENCIL=mxu_xy python tools/kernel_bench.py --reps 3
+snapshot
+run_bench bench_b16 python bench.py --repeat 3 --batch 16
+snapshot
+
+# Prior restoration: the replication script self-caps against the
+# deadline and exits 0 on a timeout kill (milestones are atomic).
+run replication    sh tools/replicate_r1_prior.sh pretrained_models/replication_r1
+snapshot
+
+if ls pretrained_models/replication_r1/model-*.ckpt >/dev/null 2>&1; then
+  run milestone_eval python tools/milestone_eval.py \
+    --run pretrained_models/replication_r1 \
+    --out docs/milestone_eval_replication.md \
+    --note "Replication run (r1 recipe: 40k steps x batch 32, dataset/OpenFWI_20k regenerated with seed 42 after the VM reset). Compare against docs/milestone_eval.md's probe_run/milestones_archive rows."
+  snapshot
+  # Ship the best-by-held-out-quality milestone as the restored prior.
+  run export_prior  python tools/pick_best_milestone.py \
+    --eval docs/milestone_eval_replication.md \
+    --out pretrained_models/model-synthetic-ema.ckpt
+  if [ -f pretrained_models/model-synthetic-ema.ckpt ]; then
+    run quality      python tools/eval_quality.py --n 4 --ts 300 \
+      --out QUALITY.md --save_curves docs/curves/openfwi
+    run quality_corr python tools/eval_quality.py --n 4 --ts 300 \
+      --noise_std 0.05 --missing_number 10 --obs refined \
+      --out QUALITY_corrupted.md
+  else
+    echo "SKIP quality (no restored prior)" >> "$STATUS"
+  fi
+else
+  echo "SKIP milestone_eval/export/quality (no replication milestones)" >> "$STATUS"
+fi
+snapshot
+echo CHAIN_DONE >> "$STATUS"
+cat "$STATUS"
+exit "$FAILED"
