@@ -100,8 +100,10 @@ def _start_watchdog():
 def build_workload(batch=DEFAULT_BATCH, ts=TS, smoke=False):
     """Build the exact headline workload: returns (engine, op, mu0,
     v_true_j, y, run, backend) where run(ts) executes one full inversion
-    and blocks. Shared with tools/drift_probe.py so the perf-drift split
-    is measured on the same program the headline reports.
+    and blocks; ``run.prior`` records whether the denoiser carries the
+    shipped checkpoint or random init. Shared with tools/drift_probe.py
+    so the perf-drift split is measured on the same program the headline
+    reports.
 
     ``smoke=True`` swaps in a tiny problem (16x16 grid, nt=60, dim-8
     denoiser, no pretrained prior) so the whole main() pipeline —
@@ -141,11 +143,19 @@ def build_workload(batch=DEFAULT_BATCH, ts=TS, smoke=False):
     diffusion.init_params(jax.random.PRNGKey(0))
     # Use the self-pretrained prior when present (QUALITY.md) so the
     # reported SSIM reflects the real method, not a random denoiser.
+    # Timing is prior-independent (identical program either way), so
+    # the headline perf number is valid even when no checkpoint exists
+    # — e.g. right after the 2026-08-19 VM reset destroyed the trained
+    # prior (docs/outage_runbook.md, failure mode 5) — but the result
+    # JSON records which case it was (``prior`` key) so a low
+    # final_ssim_synthetic is attributable.
     from pathlib import Path as _P
     ckpt = _P('pretrained_models/model-synthetic-ema.ckpt')
+    prior = 'random-init (timing-only; SSIM not meaningful)'
     if ckpt.exists() and not smoke:
         from red_diffeq_tpu.io.checkpoints import load_diffusion_params
         load_diffusion_params(diffusion, str(ckpt))
+        prior = str(ckpt)
 
     # Synthetic OpenFWI-style truths (held-out seed). Observations come
     # from a dt/2 + dx/2 refined solver at the same physical acquisition
@@ -178,6 +188,9 @@ def build_workload(batch=DEFAULT_BATCH, ts=TS, smoke=False):
         jax.block_until_ready(mu)
         return per_model
 
+    # Provenance for the result JSON without widening the 7-tuple
+    # every caller unpacks (tools/drift_probe.py shares this builder).
+    run.prior = prior
     return engine, op, mu0, v_true_j, y, run, backend
 
 
@@ -229,6 +242,7 @@ def main(argv=None):
         # layout supports without downgrade)
         'layout': X_STENCIL_LAYOUT,
         'final_ssim_synthetic': round(final_ssim, 4),
+        'prior': run.prior,
         'obs': 'refined_dt/2_dx/2',
     }
     if args.smoke:
