@@ -181,10 +181,11 @@ def build_workload(batch=DEFAULT_BATCH, ts=TS, smoke=False):
     engine = InversionEngine(diffusion, regularization='diffusion',
                              sigma_x0=1e-4)
 
-    def run(ts=ts):
+    def run(ts=ts, segment=None):
         mu, per_model = engine.optimize(
             mu0, v_true_j, y, op, ts=ts, lr=0.03, reg_lambda=0.75,
-            key=jax.random.PRNGKey(8888), use_scan=True, progress=False)
+            key=jax.random.PRNGKey(8888), use_scan=True, progress=False,
+            segment_steps=segment)
         jax.block_until_ready(mu)
         return per_model
 
@@ -205,6 +206,14 @@ def main(argv=None):
                     help='samples per inversion (fixed dispatch cost '
                          'amortizes over the batch; docs/scaling.md has '
                          'the sweep)')
+    ap.add_argument('--segment', type=int, default=None,
+                    help='split the ts-step scan into dispatches of at '
+                         'most N steps (same math, ~1 ULP; needed '
+                         'when one long dispatch trips the tunnel\'s '
+                         'execution limit — batch 16 at ts=300 is a '
+                         '~150 s dispatch, which faults; ~35 s '
+                         'dispatches complete. See docs/outage_runbook.md '
+                         'failure mode 6)')
     ap.add_argument('--smoke', action='store_true',
                     help='tiny workload so the full pipeline is '
                          'executable in the CPU suite; never a headline '
@@ -218,11 +227,11 @@ def main(argv=None):
     _, _, _, _, _, run, backend = build_workload(batch=batch, ts=ts,
                                                  smoke=args.smoke)
 
-    run(ts)                      # compile + warm run
+    run(ts, args.segment)        # compile + warm run
     times = []
     for _ in range(max(1, args.repeat)):
         t0 = time.time()
-        per_model = run(ts)      # timed run
+        per_model = run(ts, args.segment)  # timed run
         times.append(time.time() - t0)
 
     per_sample = sorted(t / batch for t in times)
@@ -245,6 +254,8 @@ def main(argv=None):
         'prior': run.prior,
         'obs': 'refined_dt/2_dx/2',
     }
+    if args.segment is not None:
+        result['segment'] = args.segment
     if args.smoke:
         result['smoke'] = True
     if len(per_sample) > 1:
@@ -261,7 +272,7 @@ def main(argv=None):
     # headline configuration qualifies — a --batch 16 sweep or other
     # operating point must not replace the number README/BENCH_r*.json
     # quote (they are batch-DEFAULT_BATCH).
-    if batch == DEFAULT_BATCH and not args.smoke:
+    if batch == DEFAULT_BATCH and not args.smoke and args.segment is None:
         try:
             LAST_GOOD_PATH.write_text(json.dumps(
                 {'when': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),

@@ -275,7 +275,8 @@ class InversionEngine:
                  mesh=None,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 50,
-                 resume: bool = False):
+                 resume: bool = False,
+                 segment_steps: Optional[int] = None):
         """Run ``ts`` optimization steps; returns (mu_cropped, per-sample
         metric curves) exactly like reference inversion.py:26-129.
 
@@ -291,6 +292,17 @@ class InversionEngine:
         segments, saving (mu, opt_state, step, metrics) after each;
         ``resume=True`` continues a previous run from the saved step with
         identical results (step keys derive from the base key).
+
+        ``segment_steps``: run the scan as ceil(ts/segment_steps)
+        separate dispatches of at most ``segment_steps`` steps each, with
+        no disk snapshots (use ``checkpoint_path`` for those). Step keys
+        and per-step math are identical to the single-dispatch scan, so
+        results match to within compiler-fusion rounding (~1 ULP); only
+        the dispatch granularity changes.
+        Needed when a single long dispatch would trip an infrastructure
+        execution limit (observed on the tunneled pool chip: ~35 s
+        dispatches complete, ~150 s dispatches fault — docs/
+        outage_runbook.md failure mode 6).
         """
         if mu.shape[0] != y.shape[0]:
             raise ValueError('Batch size mismatch between velocity and seismic data')
@@ -342,12 +354,13 @@ class InversionEngine:
         # path's retrace + compile-cache lookup on the first call (the
         # sharded path still goes through jit so the mesh placement is
         # honored).
-        # (The segmented checkpoint path calls run_scan with shorter key
-        # slices, which would not match the AOT avals — keep it on jit.)
+        # (The segmented paths call run_scan with shorter key slices,
+        # which would not match the AOT avals — keep them on jit.)
         aot_exec = (self._aot_cache.get(self._cache_key(
             reg_name, ts, lr, reg_lambda, use_scan, mu.shape, y.shape,
             fwi_forward))
-            if mesh is None and checkpoint_path is None else None)
+            if mesh is None and checkpoint_path is None
+            and segment_steps is None else None)
 
         def run_scan(carry, keys, y, mask, mu_true_norm):
             if aot_exec is not None:
@@ -391,6 +404,19 @@ class InversionEngine:
             mu, opt_state, metrics = self._run_checkpointed(
                 run_scan, mu, opt_state, step_keys, y, mask, mu_true_norm,
                 ts, checkpoint_path, checkpoint_every, resume)
+        elif use_scan and segment_steps is not None:
+            seg = max(1, int(segment_steps))
+            metric_parts = []
+            with trace(profile_dir):
+                for i in range(0, ts, seg):
+                    (mu, opt_state), m = run_scan(
+                        (mu, opt_state), step_keys[i:i + seg], y, mask,
+                        mu_true_norm)
+                    jax.block_until_ready(mu)
+                    metric_parts.append(
+                        {k: np.asarray(v) for k, v in m.items()})
+            metrics = {k: np.concatenate([p[k] for p in metric_parts])
+                       for k in metric_parts[0]}
         elif use_scan:
             with trace(profile_dir):
                 (mu, opt_state), metrics = run_scan(

@@ -105,6 +105,30 @@ def test_scan_and_python_loop_agree():
     np.testing.assert_allclose(pm_a[0]['mae'], pm_b[0]['mae'], atol=1e-6)
 
 
+def test_segmented_scan_matches_single_dispatch():
+    """segment_steps changes only dispatch granularity: same step keys,
+    same per-step math, so mu and every metric curve must match the
+    single-dispatch scan (incl. a ragged last segment) to within a ULP —
+    the segmented program compiles separately, so XLA fusion can differ
+    by one rounding (observed max 3e-8), but nothing more."""
+    op, v_true, y, mu0 = _mini_problem()
+    engine = InversionEngine(regularization=None)
+    mu_a, pm_a = engine.optimize(mu0, v_true, y, op, ts=7, lr=0.05,
+                                 key=jax.random.PRNGKey(3), use_scan=True,
+                                 progress=False)
+    mu_b, pm_b = engine.optimize(mu0, v_true, y, op, ts=7, lr=0.05,
+                                 key=jax.random.PRNGKey(3), use_scan=True,
+                                 progress=False, segment_steps=3)
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu_b),
+                               atol=1e-6, rtol=1e-5)
+    assert len(pm_b[0]['mae']) == 7
+    np.testing.assert_allclose(pm_a[0]['mae'], pm_b[0]['mae'],
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(pm_a[0]['total_losses'],
+                               pm_b[0]['total_losses'],
+                               atol=1e-6, rtol=1e-5)
+
+
 def test_validation_errors():
     op, v_true, y, mu0 = _mini_problem()
     engine = InversionEngine(regularization=None)

@@ -87,6 +87,29 @@ def test_bench_smoke_pipeline_end_to_end():
     assert last_good.stat().st_mtime == mtime_before
 
 
+def test_bench_smoke_segmented():
+    """--segment runs the same pipeline as multiple short dispatches
+    (the batch-16 operating point needs this under the tunnel's
+    per-dispatch execution limit) and must tag the result JSON so a
+    segmented number is attributable; it must never overwrite the
+    recorded last-good headline."""
+    last_good = REPO / 'BENCH_LAST_GOOD.json'
+    mtime_before = last_good.stat().st_mtime
+    p = subprocess.run(
+        [sys.executable, 'bench.py', '--smoke', '--repeat', '1',
+         '--segment', '2'],
+        cwd=REPO, timeout=900, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    assert p.returncode == 0, p.stdout[-2000:]
+    line = [ln for ln in p.stdout.strip().splitlines()
+            if ln.startswith('{')][-1]
+    out = json.loads(line)
+    assert 'error' not in out
+    assert out['segment'] == 2
+    assert out['value'] > 0
+    assert last_good.stat().st_mtime == mtime_before
+
+
 def test_entry_fails_fast_when_probe_times_out(monkeypatch):
     """entry() must raise a diagnosable RuntimeError (not hang) when the
     device probe times out."""
