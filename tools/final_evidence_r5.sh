@@ -1,0 +1,102 @@
+#!/bin/sh
+# Round-5 final-evidence pass. Runs after tools/resume_chain_r5c.sh has
+# finished (waits for its CHAIN_DONE marker so chip use stays strictly
+# serialized — docs/outage_runbook.md failure mode 1), then completes
+# the one-prior coherence work that the resume chain does not cover:
+#
+#   1. batch-16 operating point, segmented into 60-step dispatches
+#      (the un-segmented ~150 s dispatch trips the tunnel's execution
+#      limit — runbook failure mode 6; measurement for docs/scaling.md)
+#   2. method comparison -> BENCHMARKS.md (the committed table was
+#      measured with the prior the Aug-19 VM reset destroyed; the
+#      restored prior must be the one every published table uses)
+#   3. README claims regenerated from BENCHMARKS.md (CPU-only)
+#   4. QUALITY_marmousi.md regen with the restored prior
+#   5. notebook re-execution (golden runs re-captured with the
+#      restored prior; tests/test_notebook_golden.py gates the bands)
+#
+# Same deadline/logging policies as resume_chain_r5c.sh.
+# Usage: sh tools/final_evidence_r5.sh [logdir]
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/final_r5}
+mkdir -p "$LOG"
+STATUS="$LOG/status.txt"
+: > "$STATUS"
+FAILED=0
+
+CHAIN_STATUS=${RDT_CHAIN_STATUS:-/tmp/recovery2/status.txt}
+DEADLINE=$(cat "${RDT_DEADLINE_FILE:-/tmp/ROUND5_DEADLINE}" 2>/dev/null \
+  || echo 9999999999)
+past_deadline() {
+  [ "$(date +%s)" -gt "$((DEADLINE - 2400))" ]
+}
+
+# Wait (up to 4 h) for the resume chain to release the chip.
+i=0
+until grep -q CHAIN_DONE "$CHAIN_STATUS" 2>/dev/null; do
+  if [ ! -f /tmp/resume_chain.pid ] \
+     || ! kill -0 "$(cat /tmp/resume_chain.pid)" 2>/dev/null; then
+    echo "note: resume chain not running; proceeding" >> "$STATUS"
+    break
+  fi
+  i=$((i + 1))
+  if [ "$i" -gt 240 ] || past_deadline; then
+    echo "FAIL wait_chain (chain never finished)" >> "$STATUS"
+    exit 1
+  fi
+  sleep 60
+done
+
+run_bench() {
+  name=$1; shift
+  if past_deadline; then
+    echo "SKIP $name (round deadline)" >> "$STATUS"; return
+  fi
+  if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
+    echo "ok   $name" >> "$STATUS"
+  else
+    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"; FAILED=1
+  fi
+}
+run() {
+  name=$1; shift
+  if past_deadline; then
+    echo "SKIP $name (round deadline)" >> "$STATUS"; return
+  fi
+  if "$@" > "$LOG/$name.log" 2>&1; then
+    echo "ok   $name" >> "$STATUS"
+  elif tail -n 25 "$LOG/$name.log" | grep -qi 'UNAVAILABLE'; then
+    echo "retrying $name after transient UNAVAILABLE" >&2
+    if "$@" > "$LOG/$name.retry.log" 2>&1; then
+      echo "ok   $name (after retry)" >> "$STATUS"
+    else
+      echo "FAIL $name (see $LOG/$name.retry.log)" >> "$STATUS"; FAILED=1
+    fi
+  else
+    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"; FAILED=1
+  fi
+}
+EV=${RDT_EVIDENCE_DIR:-docs/chip_evidence_r5/final}
+snapshot() {
+  mkdir -p "$EV"
+  cp "$STATUS" "$LOG"/*.log "$EV"/ 2>/dev/null || true
+}
+
+run_bench bench_b16_seg python bench.py --repeat 3 --batch 16 --segment 60
+snapshot
+
+if [ -f pretrained_models/model-synthetic-ema.ckpt ]; then
+  run compare          python tools/compare_methods.py --n 4 --out BENCHMARKS.md
+  snapshot
+  run readme_claims    python tools/update_readme_claims.py
+  run quality_marmousi python tools/eval_quality.py --n 2 --ts 300 \
+    --width 190 --sigma 20 --out QUALITY_marmousi.md
+  snapshot
+  run notebooks        make notebooks
+else
+  echo "SKIP compare/readme/marmousi/notebooks (no prior)" >> "$STATUS"
+fi
+snapshot
+echo FINAL_DONE >> "$STATUS"
+cat "$STATUS"
+exit "$FAILED"
