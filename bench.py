@@ -97,7 +97,7 @@ def _start_watchdog():
     return t
 
 
-def build_workload(batch=DEFAULT_BATCH, ts=TS, smoke=False):
+def build_workload(batch=DEFAULT_BATCH, ts=TS, smoke=False, bf16=False):
     """Build the exact headline workload: returns (engine, op, mu0,
     v_true_j, y, run, backend) where run(ts) executes one full inversion
     and blocks; ``run.prior`` records whether the denoiser carries the
@@ -139,7 +139,8 @@ def build_workload(batch=DEFAULT_BATCH, ts=TS, smoke=False):
     diffusion = GaussianDiffusion(model, image_size=image_size,
                                   timesteps=timesteps,
                                   sampling_timesteps=min(250, timesteps),
-                                  objective='pred_noise')
+                                  objective='pred_noise',
+                                  half_precision=bf16)
     diffusion.init_params(jax.random.PRNGKey(0))
     # Use the self-pretrained prior when present (QUALITY.md) so the
     # reported SSIM reflects the real method, not a random denoiser.
@@ -214,6 +215,11 @@ def main(argv=None):
                          '~150 s dispatch, which faults; ~35 s '
                          'dispatches complete. See docs/outage_runbook.md '
                          'failure mode 6)')
+    ap.add_argument('--bf16', action='store_true',
+                    help='run the U-Net denoiser in bf16 (weights + '
+                         'activations, fp32 I/O and schedule math - the '
+                         'tpu.bf16_unet config path); an operating-point '
+                         'sweep flag, never recorded as last-good')
     ap.add_argument('--smoke', action='store_true',
                     help='tiny workload so the full pipeline is '
                          'executable in the CPU suite; never a headline '
@@ -225,7 +231,8 @@ def main(argv=None):
     import numpy as np
 
     _, _, _, _, _, run, backend = build_workload(batch=batch, ts=ts,
-                                                 smoke=args.smoke)
+                                                 smoke=args.smoke,
+                                                 bf16=args.bf16)
 
     run(ts, args.segment)        # compile + warm run
     times = []
@@ -256,6 +263,8 @@ def main(argv=None):
     }
     if args.segment is not None:
         result['segment'] = args.segment
+    if args.bf16:
+        result['unet_precision'] = 'bf16'
     if args.smoke:
         result['smoke'] = True
     if len(per_sample) > 1:
@@ -272,7 +281,8 @@ def main(argv=None):
     # headline configuration qualifies — a --batch 16 sweep or other
     # operating point must not replace the number README/BENCH_r*.json
     # quote (they are batch-DEFAULT_BATCH).
-    if batch == DEFAULT_BATCH and not args.smoke and args.segment is None:
+    if (batch == DEFAULT_BATCH and not args.smoke
+            and args.segment is None and not args.bf16):
         try:
             LAST_GOOD_PATH.write_text(json.dumps(
                 {'when': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),

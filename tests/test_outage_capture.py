@@ -110,6 +110,26 @@ def test_bench_smoke_segmented():
     assert last_good.stat().st_mtime == mtime_before
 
 
+def test_bench_smoke_bf16():
+    """--bf16 runs the denoiser half-precision path end-to-end, tags the
+    result JSON (a bf16 number must be attributable), and never
+    overwrites the fp32 last-good headline."""
+    last_good = REPO / 'BENCH_LAST_GOOD.json'
+    mtime_before = last_good.stat().st_mtime
+    p = subprocess.run(
+        [sys.executable, 'bench.py', '--smoke', '--repeat', '1', '--bf16'],
+        cwd=REPO, timeout=900, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    assert p.returncode == 0, p.stdout[-2000:]
+    line = [ln for ln in p.stdout.strip().splitlines()
+            if ln.startswith('{')][-1]
+    out = json.loads(line)
+    assert 'error' not in out
+    assert out['unet_precision'] == 'bf16'
+    assert out['value'] > 0
+    assert last_good.stat().st_mtime == mtime_before
+
+
 def test_entry_fails_fast_when_probe_times_out(monkeypatch):
     """entry() must raise a diagnosable RuntimeError (not hang) when the
     device probe times out."""
