@@ -400,6 +400,15 @@ class InversionEngine:
             raise ValueError(
                 'checkpoint_path requires use_scan=True (snapshots are '
                 'written between scan segments)')
+        if segment_steps is not None and not use_scan:
+            raise ValueError(
+                'segment_steps segments the scanned loop; with '
+                'use_scan=False every step is already its own dispatch')
+        if segment_steps is not None and checkpoint_path is not None:
+            raise ValueError(
+                'segment_steps and checkpoint_path both segment the '
+                'scan; use checkpoint_path with checkpoint_every='
+                f'{segment_steps} to get snapshots at that granularity')
         if use_scan and checkpoint_path is not None:
             mu, opt_state, metrics = self._run_checkpointed(
                 run_scan, mu, opt_state, step_keys, y, mask, mu_true_norm,

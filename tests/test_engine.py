@@ -361,6 +361,18 @@ def test_constructor_rejects_unknown_regularization():
     InversionEngine(regularization=None)
 
 
+def test_segment_steps_option_conflicts():
+    op, v_true, y, mu0 = _mini_problem()
+    engine = InversionEngine(regularization=None)
+    with pytest.raises(ValueError, match='use_scan=False'):
+        engine.optimize(mu0, v_true, y, op, ts=2, use_scan=False,
+                        segment_steps=1, progress=False)
+    with pytest.raises(ValueError, match='checkpoint_every'):
+        engine.optimize(mu0, v_true, y, op, ts=2, use_scan=True,
+                        segment_steps=1, checkpoint_path='/tmp/never.ckpt',
+                        progress=False)
+
+
 def test_checkpoint_path_requires_scan():
     op, v_true, y, mu0 = _mini_problem()
     engine = InversionEngine(regularization=None)
