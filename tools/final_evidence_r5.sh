@@ -15,7 +15,7 @@
 #   5. notebook re-execution (golden runs re-captured with the
 #      restored prior; tests/test_notebook_golden.py gates the bands)
 #
-# Same deadline/logging policies as resume_chain_r5c.sh.
+# Shared step/deadline/serialization policies: tools/chain_lib.sh.
 # Usage: sh tools/final_evidence_r5.sh [logdir]
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/final_r5}
@@ -23,20 +23,19 @@ mkdir -p "$LOG"
 STATUS="$LOG/status.txt"
 : > "$STATUS"
 FAILED=0
+EV=${RDT_EVIDENCE_DIR:-docs/chip_evidence_r5/final}
+. tools/chain_lib.sh
 
+# Wait (up to 4 h) for the resume chain to release the chip. Proceed
+# early ONLY on positive evidence the chain is finished or dead:
+# CHAIN_DONE in its status file, or a registered pidfile whose process
+# is gone. A missing pidfile is NOT evidence of a dead chain (the
+# chain may not have started yet) — keep waiting until the cap.
 CHAIN_STATUS=${RDT_CHAIN_STATUS:-/tmp/recovery2/status.txt}
-DEADLINE=$(cat "${RDT_DEADLINE_FILE:-/tmp/ROUND5_DEADLINE}" 2>/dev/null \
-  || echo 9999999999)
-past_deadline() {
-  [ "$(date +%s)" -gt "$((DEADLINE - 2400))" ]
-}
-
-# Wait (up to 4 h) for the resume chain to release the chip.
 i=0
 until grep -q CHAIN_DONE "$CHAIN_STATUS" 2>/dev/null; do
-  if [ ! -f /tmp/resume_chain.pid ] \
-     || ! kill -0 "$(cat /tmp/resume_chain.pid)" 2>/dev/null; then
-    echo "note: resume chain not running; proceeding" >> "$STATUS"
+  if [ -f "$CHAIN_PIDFILE" ] && ! chain_alive; then
+    echo "note: registered chain is dead; proceeding" >> "$STATUS"
     break
   fi
   i=$((i + 1))
@@ -46,41 +45,7 @@ until grep -q CHAIN_DONE "$CHAIN_STATUS" 2>/dev/null; do
   fi
   sleep 60
 done
-
-run_bench() {
-  name=$1; shift
-  if past_deadline; then
-    echo "SKIP $name (round deadline)" >> "$STATUS"; return
-  fi
-  if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
-    echo "ok   $name" >> "$STATUS"
-  else
-    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"; FAILED=1
-  fi
-}
-run() {
-  name=$1; shift
-  if past_deadline; then
-    echo "SKIP $name (round deadline)" >> "$STATUS"; return
-  fi
-  if "$@" > "$LOG/$name.log" 2>&1; then
-    echo "ok   $name" >> "$STATUS"
-  elif tail -n 25 "$LOG/$name.log" | grep -qi 'UNAVAILABLE'; then
-    echo "retrying $name after transient UNAVAILABLE" >&2
-    if "$@" > "$LOG/$name.retry.log" 2>&1; then
-      echo "ok   $name (after retry)" >> "$STATUS"
-    else
-      echo "FAIL $name (see $LOG/$name.retry.log)" >> "$STATUS"; FAILED=1
-    fi
-  else
-    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"; FAILED=1
-  fi
-}
-EV=${RDT_EVIDENCE_DIR:-docs/chip_evidence_r5/final}
-snapshot() {
-  mkdir -p "$EV"
-  cp "$STATUS" "$LOG"/*.log "$EV"/ 2>/dev/null || true
-}
+register_chain
 
 run_bench bench_b16_seg python bench.py --repeat 3 --batch 16 --segment 60
 snapshot

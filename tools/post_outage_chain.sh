@@ -25,59 +25,10 @@ STATUS="$LOG/status.txt"
 : > "$STATUS"
 FAILED=0
 
-# Round-end guard: the driver benches on the SAME single chip right
-# after the round ends, and two concurrent chip users wedge the tunnel
-# (docs/outage_runbook.md). If /tmp/ROUND5_DEADLINE (epoch seconds)
-# exists, refuse to START a chip step within 40 min of it so the chip
-# is always free (and grant-reclaimed) for the graded bench.
-DEADLINE=$(cat /tmp/ROUND5_DEADLINE 2>/dev/null || echo 9999999999)
-past_deadline() {
-  [ "$(date +%s)" -gt "$((DEADLINE - 2400))" ]
-}
-
-# bench.py exits 0 with an {"error": ...} diagnostic line when the
-# device is unreachable (by design, for the driver) — that is still a
-# FAILED capture here, so gate on the error key as well as the rc.
-# bench steps self-retry transient faults; they get NO shell retry.
-run_bench() {
-  name=$1; shift
-  if past_deadline; then
-    echo "SKIP $name (round deadline)" >> "$STATUS"
-    return
-  fi
-  if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
-    echo "ok   $name" >> "$STATUS"
-  else
-    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"
-    FAILED=1
-  fi
-}
-
-# Non-bench steps: transient UNAVAILABLE faults are MOST likely right
-# after an outage (runbook mode 3: all retryable in a fresh process),
-# so retry once when the log's tail shows one — same policy as
-# publish_round.sh run_step.
-run() {
-  name=$1; shift
-  if past_deadline; then
-    echo "SKIP $name (round deadline)" >> "$STATUS"
-    return
-  fi
-  if "$@" > "$LOG/$name.log" 2>&1; then
-    echo "ok   $name" >> "$STATUS"
-  elif tail -n 25 "$LOG/$name.log" | grep -qi 'UNAVAILABLE'; then
-    echo "retrying $name after transient UNAVAILABLE" >&2
-    if "$@" > "$LOG/$name.retry.log" 2>&1; then
-      echo "ok   $name (after retry)" >> "$STATUS"
-    else
-      echo "FAIL $name (see $LOG/$name.retry.log)" >> "$STATUS"
-      FAILED=1
-    fi
-  else
-    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"
-    FAILED=1
-  fi
-}
+# Shared deadline/step/serialization policies: tools/chain_lib.sh.
+EV=${RDT_EVIDENCE_DIR:-docs/chip_evidence_r5}
+. tools/chain_lib.sh
+register_chain
 
 run_bench bench         python bench.py --repeat 3
 run layout_probe  python tools/kernel_layout_probe.py --nt 1000 --programs 20 --reps 3
@@ -94,9 +45,7 @@ run quality_corr  python tools/eval_quality.py --n 4 --ts 300 --noise_std 0.05 -
 # Preserve the raw measurements IN THE REPO: if no session is live when
 # this chain runs, /tmp evidence would die with the round — the driver
 # auto-commits repo files at round end.
-EV=docs/chip_evidence_r5
-mkdir -p "$EV"
-cp "$STATUS" "$LOG"/*.log "$EV"/ 2>/dev/null || true
+snapshot
 echo CHAIN_DONE >> "$STATUS"
 cat "$STATUS"
 exit "$FAILED"

@@ -28,54 +28,10 @@ STATUS="$LOG/status.txt"
 : > "$STATUS"
 FAILED=0
 
-# RDT_DEADLINE_FILE override exists for tests (drive the skip path
-# without touching the live /tmp/ROUND5_DEADLINE a watcher may use).
-DEADLINE=$(cat "${RDT_DEADLINE_FILE:-/tmp/ROUND5_DEADLINE}" 2>/dev/null \
-  || echo 9999999999)
-past_deadline() {
-  [ "$(date +%s)" -gt "$((DEADLINE - 2400))" ]
-}
-
-# Same step policies as tools/post_outage_chain.sh: bench.py self-retries
-# and emits an {"error": ...} diagnostic on unrecoverable failure (still
-# a FAILED capture here); non-bench steps get one shell retry on a
-# transient UNAVAILABLE (runbook mode 3).
-run_bench() {
-  name=$1; shift
-  if past_deadline; then
-    echo "SKIP $name (round deadline)" >> "$STATUS"; return
-  fi
-  if "$@" > "$LOG/$name.log" 2>&1 && ! grep -q '"error"' "$LOG/$name.log"; then
-    echo "ok   $name" >> "$STATUS"
-  else
-    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"; FAILED=1
-  fi
-}
-run() {
-  name=$1; shift
-  if past_deadline; then
-    echo "SKIP $name (round deadline)" >> "$STATUS"; return
-  fi
-  if "$@" > "$LOG/$name.log" 2>&1; then
-    echo "ok   $name" >> "$STATUS"
-  elif tail -n 25 "$LOG/$name.log" | grep -qi 'UNAVAILABLE'; then
-    echo "retrying $name after transient UNAVAILABLE" >&2
-    if "$@" > "$LOG/$name.retry.log" 2>&1; then
-      echo "ok   $name (after retry)" >> "$STATUS"
-    else
-      echo "FAIL $name (see $LOG/$name.retry.log)" >> "$STATUS"; FAILED=1
-    fi
-  else
-    echo "FAIL $name (see $LOG/$name.log)" >> "$STATUS"; FAILED=1
-  fi
-}
-# Copy evidence into the repo as soon as each step lands — a second VM
-# reset must not take the measurements with it.
+# Shared deadline/step/serialization policies: tools/chain_lib.sh.
 EV=${RDT_EVIDENCE_DIR:-docs/chip_evidence_r5}
-snapshot() {
-  mkdir -p "$EV"
-  cp "$STATUS" "$LOG"/*.log "$EV"/ 2>/dev/null || true
-}
+. tools/chain_lib.sh
+register_chain
 
 run_bench bench    python bench.py --repeat 3
 snapshot
