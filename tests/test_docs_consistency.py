@@ -8,15 +8,20 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_readme_method_comparison_matches_benchmarks():
+def test_readme_claim_blocks_match_artifacts():
+    """Both generated blocks: method comparison (BENCHMARKS.md) and
+    quality (QUALITY.md + QUALITY_marmousi.md — the hand-written version
+    went stale a fourth time in r5 after the prior swap)."""
     import sys
     sys.path.insert(0, str(REPO / 'tools'))
     from update_readme_claims import regenerate
 
     readme = (REPO / 'README.md').read_text()
-    bench = (REPO / 'BENCHMARKS.md').read_text()
-    assert regenerate(readme, bench) == readme, (
-        'README.md method-comparison block does not match BENCHMARKS.md; '
+    assert regenerate(readme,
+                      (REPO / 'BENCHMARKS.md').read_text(),
+                      (REPO / 'QUALITY.md').read_text(),
+                      (REPO / 'QUALITY_marmousi.md').read_text()) == readme, (
+        'README.md generated claim blocks do not match the artifacts; '
         'run python tools/update_readme_claims.py')
 
 
