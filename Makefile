@@ -2,7 +2,8 @@
 
 .PHONY: install test test-tpu bench bench-smoke datagen pretrain quality \
   compare quality-marmousi quality-corrupted scaling milestone-eval \
-  synthetic-stats notebooks prewarm post-outage replicate-r1 layout-ab
+  synthetic-stats notebooks prewarm post-outage replicate-r1 layout-ab \
+  drift-probe
 
 install:
 	pip install -e . --no-deps --no-build-isolation
