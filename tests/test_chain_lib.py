@@ -65,9 +65,19 @@ def test_empty_deadline_file_means_no_deadline(tmp_path):
     assert "ok   ok_step" in status
 
 
-def test_non_numeric_deadline_means_no_deadline(tmp_path):
-    _, status = _run_chain(tmp_path, deadline_text="garbage\n")
+def test_whitespace_around_numeric_deadline_is_tolerated(tmp_path):
+    # a watcher writing "echo $ts > file" leaves a trailing newline;
+    # that must parse as the deadline, not fail closed
+    _, status = _run_chain(tmp_path, deadline_text=" 9999999999 \n")
     assert "SKIP" not in status
+
+
+def test_malformed_deadline_fails_closed(tmp_path):
+    """Non-empty garbage means someone TRIED to set a deadline; the safe
+    reading is 'the protected pre-deadline window may be now'."""
+    proc, status = _run_chain(tmp_path, deadline_text="garbage\n")
+    assert status.count("SKIP") == 3
+    assert proc.returncode == 0
 
 
 def test_past_deadline_skips_every_chip_step(tmp_path):
@@ -76,7 +86,10 @@ def test_past_deadline_skips_every_chip_step(tmp_path):
     assert proc.returncode == 0
 
 
-def test_register_chain_writes_pidfile(tmp_path):
+def test_pidfile_registered_during_run_and_removed_on_exit(tmp_path):
+    """register_chain must remove the pidfile on normal exit so a
+    finished chain's stale dead-pid entry can't make a successor's
+    wait-for-release check proceed early (two concurrent chip users
+    wedge the tunnel)."""
     _run_chain(tmp_path, deadline_text=None)
-    pid = (tmp_path / "chain.pid").read_text().strip()
-    assert pid.isdigit()
+    assert not (tmp_path / "chain.pid").exists()

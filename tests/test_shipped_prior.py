@@ -37,21 +37,28 @@ def test_shipped_prior_matches_production_unet():
     t = jnp.zeros((1,), jnp.int32)
     template = net.init(jax.random.PRNGKey(0), x, t)['params']
 
-    tmpl_paths = {jax.tree_util.keystr(p)
-                  for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]}
     raw_params = raw['params'] if isinstance(raw, dict) and 'params' in raw \
         else raw
-    # from_state_dict tolerates extras; structural match is the real gate
+    # from_state_dict raises on missing keys but silently accepts
+    # shape-mismatched leaves (verified empirically), so the real gate
+    # is per-leaf SHAPE equality against the template: restored leaves
+    # carry the checkpoint's shapes, the template carries the production
+    # config's. A checkpoint from a same-topology, different-width U-Net
+    # (the 'accidentally swapped prior' case) fails here.
     import flax.serialization as ser
     restored = ser.from_state_dict(template, raw_params)
-    rest_paths = {jax.tree_util.keystr(p)
-                  for p, _ in jax.tree_util.tree_flatten_with_path(restored)[0]}
-    assert rest_paths == tmpl_paths
+    t_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+    r_leaves = jax.tree_util.tree_flatten_with_path(restored)[0]
+    assert len(t_leaves) == len(r_leaves) > 0
+    for (tp, tl), (rp, rl) in zip(t_leaves, r_leaves):
+        assert jax.tree_util.keystr(tp) == jax.tree_util.keystr(rp)
+        assert tuple(rl.shape) == tuple(tl.shape), (
+            f'{jax.tree_util.keystr(tp)}: checkpoint {rl.shape} '
+            f'vs production U-Net {tl.shape}')
 
     # every leaf finite and not all-zero (a truncated msgpack file
     # typically restores zeros)
     leaves = jax.tree_util.tree_leaves(restored)
-    assert leaves
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert total > 0
     import numpy as np

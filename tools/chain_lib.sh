@@ -13,14 +13,22 @@
 # after the round ends, and two concurrent chip users wedge the tunnel
 # (docs/outage_runbook.md failure mode 1). If the deadline file (epoch
 # seconds; RDT_DEADLINE_FILE overrides for tests) exists, refuse to
-# START a chip step within 40 min of it. A missing, empty, or
-# non-numeric file must mean "no deadline", NOT "deadline passed" — an
-# empty file once made $((DEADLINE - 2400)) arithmetic on an empty
-# string skip every step silently.
+# START a chip step within 40 min of it. Parse policy:
+#   missing or empty file  -> no deadline (the watcher isn't armed yet;
+#       an empty file once made $((DEADLINE - 2400)) arithmetic on an
+#       empty string skip every step silently)
+#   digits (+/- whitespace) -> the deadline
+#   anything else           -> fail CLOSED (treat as already past):
+#       someone tried to set a deadline and we can't read it, so the
+#       safe interpretation is "the protected window may be now".
 DEADLINE=$(cat "${RDT_DEADLINE_FILE:-/tmp/ROUND5_DEADLINE}" 2>/dev/null \
-  || echo 9999999999)
+  | tr -d '[:space:]' || echo 9999999999)
 case "$DEADLINE" in
-  ''|*[!0-9]*) DEADLINE=9999999999 ;;
+  '') DEADLINE=9999999999 ;;
+  *[!0-9]*)
+    echo "warning: malformed deadline file content '$DEADLINE';" \
+         "failing closed (all chip steps skipped)" >&2
+    DEADLINE=0 ;;
 esac
 past_deadline() {
   [ "$(date +%s)" -gt "$((DEADLINE - 2400))" ]
@@ -28,12 +36,19 @@ past_deadline() {
 
 # --- chip serialization -------------------------------------------------
 # Every chain registers itself here so successors can tell a live chain
-# from a finished/dead one (never kill by pattern; pidfile only).
+# from a finished/dead one (never kill by pattern; pidfile only). The
+# pidfile is removed on normal exit, so a leftover file means the chain
+# died hard (VM reset, SIGKILL) — successors treat a dead-pid file as
+# "released" and a missing file as "not started yet; keep waiting".
 CHAIN_PIDFILE=${CHAIN_PIDFILE:-/tmp/resume_chain.pid}
 register_chain() {
   echo $$ > "$CHAIN_PIDFILE"
+  trap 'rm -f "$CHAIN_PIDFILE"' EXIT
 }
 chain_alive() {
+  # Empty/garbage pidfile content reads as dead (kill -0 '' fails),
+  # which is the conservative reading for a file a crashed writer
+  # may have left half-written.
   [ -f "$CHAIN_PIDFILE" ] && kill -0 "$(cat "$CHAIN_PIDFILE")" 2>/dev/null
 }
 

@@ -53,10 +53,13 @@ snapshot
 if [ -f pretrained_models/model-synthetic-ema.ckpt ]; then
   run compare          python tools/compare_methods.py --n 4 --out BENCHMARKS.md
   snapshot
-  run readme_claims    python tools/update_readme_claims.py
   run quality_marmousi python tools/eval_quality.py --n 2 --ts 300 \
     --width 190 --sigma 20 --out QUALITY_marmousi.md
   snapshot
+  # README blocks are generated from BENCHMARKS.md AND QUALITY*.md, so
+  # this must run AFTER every artifact regen above (else the committed
+  # tree fails tests/test_docs_consistency.py).
+  run readme_claims    python tools/update_readme_claims.py
   run notebooks        make notebooks
 else
   echo "SKIP compare/readme/marmousi/notebooks (no prior)" >> "$STATUS"

@@ -42,6 +42,8 @@ run layout_ab_mxy  env RDT_X_STENCIL=mxu_xy python tools/kernel_bench.py --reps 
 run_bench bench_b16     python bench.py --repeat 3 --batch 16
 run quality       python tools/eval_quality.py --n 4 --ts 300 --out QUALITY.md --save_curves docs/curves/openfwi
 run quality_corr  python tools/eval_quality.py --n 4 --ts 300 --noise_std 0.05 --missing_number 10 --obs refined --out QUALITY_corrupted.md
+# QUALITY.md feeds README's generated quality block (CPU-only step).
+run readme_claims python tools/update_readme_claims.py
 # Preserve the raw measurements IN THE REPO: if no session is live when
 # this chain runs, /tmp evidence would die with the round — the driver
 # auto-commits repo files at round end.

@@ -46,6 +46,9 @@ if ls pretrained_models/replication_r1/model-*.ckpt >/dev/null 2>&1; then
     run quality_corr python tools/eval_quality.py --n 4 --ts 300 \
       --noise_std 0.05 --missing_number 10 --obs refined \
       --out QUALITY_corrupted.md
+    # QUALITY.md feeds README's generated quality block; regenerate it
+    # (CPU-only, drift-gated by tests/test_docs_consistency.py).
+    run readme_claims python tools/update_readme_claims.py
   else
     echo "SKIP quality (no restored prior)" >> "$STATUS"
   fi
